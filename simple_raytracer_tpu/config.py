@@ -1,0 +1,130 @@
+"""Configuration system for the TPU raytracer.
+
+The reference (leonlang/simple_raytracer) has no config system: every knob is a
+hardcoded constant or a comment-toggled code block (see SURVEY.md §5).  This module
+exposes each of those constants as a field, citing where the value lives in the
+reference (`simple_raytracer.cpp` / `Object.cpp`), so renders can reproduce the
+reference's behaviour exactly while remaining fully parameterisable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera at the view-space origin.
+
+    Reference: primary ray dir = (i, j, focal) for i in [-W/2, W/2),
+    j in [-H/2, H/2); directions NOT normalized (simple_raytracer.cpp:505-525).
+    """
+
+    width: int = 600            # simple_raytracer.cpp:773
+    height: int = 400           # simple_raytracer.cpp:773
+    focal: float = 400.0        # simple_raytracer.cpp:506
+    normalize_dirs: bool = False  # reference never normalizes primary dirs
+
+
+@dataclasses.dataclass(frozen=True)
+class LightConfig:
+    """Point light + soft-shadow sampling parameters."""
+
+    position: Tuple[float, float, float] = (500.0, -300.0, -200.0)  # :776
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)             # :433
+    # Number of jittered light samples; reference main() uses 1 (:445) but the
+    # code comments call out "36 Shadows are a good value" (:444); the published
+    # experiments used 8/16/32 (images/soft_shadows/).
+    num_samples: int = 1
+    # Cumulative per-sample jitter: +3.0 added to x, y, z in rotation (:372-382).
+    jitter_step: float = 3.0
+    # Shadowed samples are dimmed by /5, NOT zeroed (:369).
+    shadow_dim: float = 5.0
+    # Reference shadow rays have no max-t: occluders BEYOND the light still
+    # cast shadow (simple_raytracer.cpp:321-342).  True reproduces that quirk.
+    shadow_no_max_t: bool = True
+    enable_shadows: bool = True   # :385-386 comment toggle
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadingConfig:
+    """Phong illumination + tone-mapping parameters (simple_raytracer.cpp:144-200,
+    :389-398)."""
+
+    # Diffuse uses abs(n.l): double-sided shading (:174-178).
+    double_sided_diffuse: bool = True
+    # The reference multiplies the specular term by an extra max(n.l, 0) factor
+    # (after the abs fold) (:196).
+    specular_nl_factor: bool = True
+    # 1/pi scaling on diffuse and ambient (:153, :184).
+    # Flat geometric normals are the active path; smooth vertex-normal
+    # interpolation exists but is commented out (:162-164).
+    smooth_normals: bool = False
+    # Reinhard variant: c / (c + reinhard_offset); 0.5 active, 0.1/1.0/4.0
+    # commented (:390-393).
+    reinhard_offset: float = 0.5
+    gamma: float = 1.1            # :396-398 (2.2 commented out)
+    tonemap_enabled: bool = True
+    # The reference quantizes shaded color with int(c*255) (truncation) (:447-449).
+    quantize_truncate: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHConfig:
+    """BVH build parameters (Object.cpp:225-284)."""
+
+    leaf_size: int = 8            # triangleSizeStop, Object.cpp:261
+    # 'median' reproduces the reference's sort-by-pointOne median split
+    # (Object.cpp:240-255).  'sah' is the TPU-native improvement.
+    split: str = "median"
+    # Triangle block size for the TPU tile-culling renderer; leaf triangles are
+    # reordered contiguously and grouped into fixed-size blocks with AABBs.
+    block_size: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level render configuration."""
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    light: LightConfig = dataclasses.field(default_factory=LightConfig)
+    shading: ShadingConfig = dataclasses.field(default_factory=ShadingConfig)
+    bvh: BVHConfig = dataclasses.field(default_factory=BVHConfig)
+
+    # 'bruteforce' — all ray×triangle pairs (jnp oracle, differentiable)
+    # 'bvh'        — stackless flattened-BVH traversal in jnp (lax.while_loop)
+    # 'tiled'      — TPU perf path: per-tile block culling + Pallas MXU kernel
+    mode: str = "bruteforce"
+
+    # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px rays).
+    tile_px: int = 16
+
+    # Background for pixels with no hit OR hits shading to exactly (0,0,0):
+    # light blue 173,216,230 (simple_raytracer.cpp:476-487).
+    background: Tuple[int, int, int] = (173, 216, 230)
+
+    # Möller–Trumbore determinant epsilon (simple_raytracer.cpp:57).
+    mt_eps: float = 1e-12
+
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnimationConfig:
+    """Turntable animation driver (simple_raytracer.cpp:530-551)."""
+
+    start_deg: float = 0.0
+    stop_deg: float = 360.0
+    step_deg: float = 10.0         # 36 frames
+    orbit_radius: float = 50.0     # :546
+    camera_y: float = -50.0        # :551
+    pitch_deg: float = 30.0        # :551
+    yaw_offset_deg: float = 90.0   # :551 (angle + 90)
+
+
+def default_config() -> RenderConfig:
+    return RenderConfig()

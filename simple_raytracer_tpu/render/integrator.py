@@ -1,0 +1,113 @@
+"""Shared shading integrator: hit records -> final pixel radiance.
+
+Implements the reference's softShadow/phong/tonemap stack
+(simple_raytracer.cpp:348-401) over flat ray arrays, parameterized by the
+intersection backend (brute force / BVH / Pallas) through ``shadow_fn``.
+
+Shade-on-improve note: the reference re-shades on every improved hit
+(:428-445); the final written color is always the min-t winner, so shading once
+at the argmin is output-equivalent — and the only sane formulation on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import shading as sh
+
+
+def light_sample_positions(light_pos, num_samples: int, jitter_step: float):
+    """Soft-shadow light sample positions (simple_raytracer.cpp:362-383).
+
+    The reference mutates the light cumulatively, +jitter on x, y, z in
+    rotation AFTER each sample, so sample 0 is the base light.  Returns
+    [S, 3].
+    """
+    offsets = np.zeros((num_samples, 3), dtype=np.float32)
+    acc = np.zeros(3, dtype=np.float32)
+    for s in range(num_samples):
+        offsets[s] = acc
+        acc[s % 3] += jitter_step
+    return light_pos[None, :] + jnp.asarray(offsets)
+
+
+def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
+          t: jnp.ndarray, tri_idx: jnp.ndarray, light_pos: jnp.ndarray,
+          shadow_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Shade flat rays given nearest-hit records.
+
+    Args:
+      origin/direction: [R, 3] rays (unnormalized directions).
+      t: [R] hit distance (+inf = miss).
+      tri_idx: [R] global triangle index (-1 = miss; clamped for gathers).
+      light_pos: [3] base light position (already in view space, :776-778).
+      shadow_fn: (point [R,3], light [R,3], self_obj [R]) -> bool [R] shadowed.
+        None disables shadows (reference toggle :385-386).
+
+    Returns [R, 3] tone-mapped radiance in [0,1] (pre-quantization); misses
+    hold garbage — mask with ``t < inf`` downstream.
+    """
+    scfg, lcfg = cfg.shading, cfg.light
+    idx = jnp.maximum(tri_idx, 0)
+    tri_v = scene.verts_cart()[idx]                    # [R, 3, 3]
+    obj = scene.tri_obj[idx]                           # [R]
+    tex_id = scene.tri_tex[idx]                        # [R]
+
+    point = origin + t[..., None] * direction          # :156, :351
+
+    # Base color: object color, or texture fetch when textured (:348-361,
+    # :437-443).  tri_color (vertex-0 sample) is only visible when a texture
+    # name exists but the texel fetch is unavailable — reproduced via where.
+    bary = sh.barycentric(tri_v, point)
+    base_color = scene.obj_color[obj]
+    textured = tex_id >= 0
+    texel = sh.interpolate_uv(scene.uvs[idx], bary)
+    tex_rgb = sh.texture_fetch(scene.tex_data, scene.tex_offset,
+                               scene.tex_width, scene.tex_height, tex_id, texel)
+    color_in = jnp.where(textured[..., None], tex_rgb, base_color)
+
+    if scfg.smooth_normals:
+        normal = sh.smooth_normal(scene.vnormals[idx], bary)
+    else:
+        normal = sh.flat_normal(tri_v)
+
+    ambient = scene.obj_ambient[obj]
+    specular = scene.obj_specular[obj]
+    shininess = scene.obj_shininess[obj]
+    light_color = jnp.asarray(lcfg.color, dtype=point.dtype)
+
+    samples = light_sample_positions(light_pos, lcfg.num_samples, lcfg.jitter_step)
+    accum = jnp.zeros_like(point)
+    for s in range(lcfg.num_samples):
+        lpos = jnp.broadcast_to(samples[s], point.shape)
+        c = sh.phong(normal, point, direction, lpos, light_color, color_in,
+                     ambient, specular, shininess,
+                     double_sided=scfg.double_sided_diffuse)
+        if shadow_fn is not None and lcfg.enable_shadows:
+            shadowed = shadow_fn(point, lpos, obj)
+            c = jnp.where(shadowed[..., None], c / lcfg.shadow_dim, c)  # :369
+        accum = accum + c
+
+    if scfg.tonemap_enabled:
+        accum = sh.tonemap(accum, scfg.reinhard_offset, scfg.gamma)
+    return accum
+
+
+def finalize_image(radiance: jnp.ndarray, hit: jnp.ndarray,
+                   cfg: RenderConfig) -> jnp.ndarray:
+    """Quantize + background fill -> [H, W, 3] uint8.
+
+    Reproduces: int(c*255) truncation (:447-449); pixels that are missed OR
+    shade to exactly (0,0,0) become light blue (173,216,230) (:476-487).
+    """
+    q = sh.quantize_255(radiance) if cfg.shading.quantize_truncate \
+        else jnp.round(radiance * 255.0)
+    q = jnp.where(hit[..., None], q, 0.0)
+    is_black = jnp.all(q == 0.0, axis=-1)
+    bg = jnp.asarray(cfg.background, dtype=q.dtype)
+    out = jnp.where(is_black[..., None], bg, q)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

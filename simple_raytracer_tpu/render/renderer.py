@@ -1,0 +1,123 @@
+"""Renderer front-end: mode dispatch + the brute-force jnp oracle.
+
+Modes (RenderConfig.mode):
+  * 'bruteforce' — all ray x triangle pairs, pure jnp.  The correctness oracle
+    and the differentiable path; fine for small scenes (config 1/2 class).
+  * 'bvh'        — stackless flattened-BVH traversal in jnp (accel/).
+  * 'tiled'      — TPU performance path (kernels/): per-tile block culling +
+    fused Pallas MXU kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import intersect as isect
+from ..ops.camera import primary_rays
+from . import integrator
+
+
+def brute_force_hits(scene, origin: jnp.ndarray, direction: jnp.ndarray,
+                     eps: float = 1e-12, chunk: int = 0):
+    """Nearest hit of flat rays [R,3] against ALL triangles. Returns (t, idx)."""
+    verts = scene.verts_cart()
+
+    def hits(o, d):
+        ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
+                                   verts[None, :, :, :], eps)   # [r, T]
+        idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        t = jnp.take_along_axis(ts, idx[:, None], axis=-1)[:, 0]
+        return t, jnp.where(jnp.isinf(t), -1, idx)
+
+    if chunk and origin.shape[0] > chunk:
+        n = origin.shape[0] // chunk
+        o = origin[: n * chunk].reshape(n, chunk, 3)
+        d = direction[: n * chunk].reshape(n, chunk, 3)
+        t, i = jax.lax.map(lambda od: hits(od[0], od[1]), (o, d))
+        t, i = t.reshape(-1), i.reshape(-1)
+        if n * chunk < origin.shape[0]:
+            t2, i2 = hits(origin[n * chunk:], direction[n * chunk:])
+            t, i = jnp.concatenate([t, t2]), jnp.concatenate([i, i2])
+        return t, i
+    return hits(origin, direction)
+
+
+def brute_force_shadow(scene, eps: float = 1e-12):
+    """Shadow predicate: any triangle of any OTHER object between... anywhere.
+
+    Reference semantics (simple_raytracer.cpp:321-342): shadow ray origin =
+    hit point, direction = lightPos - hitPoint (unnormalized); ANY valid MT hit
+    (t >= 0, no max-t!) on a different object means shadow.
+    """
+    verts = scene.verts_cart()
+
+    def shadow_fn(point, light, self_obj):
+        d = light - point
+        ts = isect.moller_trumbore(point[:, None, :], d[:, None, :],
+                                   verts[None, :, :, :], eps)   # [R, T]
+        other = scene.tri_obj[None, :] != self_obj[:, None]
+        return jnp.any(jnp.isfinite(ts) & other, axis=-1)
+
+    return shadow_fn
+
+
+def render_flat(scene, cfg: RenderConfig, origin, direction, light_pos,
+                shadow_fn=None, hit_fn=None):
+    """Render flat rays -> (radiance [R,3], hit [R])."""
+    if hit_fn is None:
+        hit_fn = functools.partial(brute_force_hits, eps=cfg.mt_eps)
+    if shadow_fn is None and cfg.light.enable_shadows:
+        shadow_fn = brute_force_shadow(scene, eps=cfg.mt_eps)
+    t, tri_idx = hit_fn(scene, origin, direction)
+    radiance = integrator.shade(scene, cfg, origin, direction, t, tri_idx,
+                                light_pos, shadow_fn)
+    return radiance, jnp.isfinite(t)
+
+
+@functools.lru_cache(maxsize=64)
+def _render_jit(cfg: RenderConfig):
+    def f(scene, light_pos):
+        radiance, hit = render_radiance(scene, cfg, light_pos)
+        return integrator.finalize_image(radiance, hit, cfg)
+    return jax.jit(f)
+
+
+def render(scene, cfg: RenderConfig, light_pos) -> jnp.ndarray:
+    """Full-frame render -> [H, W, 3] uint8 (background-filled, quantized).
+
+    Jitted and cached per config (RenderConfig is frozen/hashable); repeat
+    frames with the same config recompile nothing.
+    """
+    return _render_jit(cfg)(scene, jnp.asarray(light_pos, dtype=jnp.float32))
+
+
+def render_radiance(scene, cfg: RenderConfig, light_pos
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float render -> (radiance [H, W, 3] in [0,1], hit [H, W]).
+
+    The differentiable output: no quantization, no background fill.
+    """
+    cam = cfg.camera
+    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    light_pos = jnp.asarray(light_pos, dtype=d.dtype)
+
+    if cfg.mode == "bruteforce":
+        radiance, hit = render_flat(scene, cfg, o, d, light_pos)
+    elif cfg.mode == "bvh":
+        from ..accel import traverse
+        radiance, hit = traverse.render_flat_bvh(scene, cfg, o, d, light_pos)
+    elif cfg.mode == "tiled":
+        from ..kernels import tiled
+        radiance, hit = tiled.render_flat_tiled(scene, cfg, o, d, light_pos)
+    else:
+        raise ValueError(f"unknown render mode: {cfg.mode}")
+
+    H, W = cam.height, cam.width
+    return radiance.reshape(H, W, 3), hit.reshape(H, W)
