@@ -1,0 +1,131 @@
+"""PreparedScene: Scene + flattened BVH + triangle blocks, ready for device.
+
+``prepare`` is a HOST step (numpy BVH build; cannot run under jit).  The
+result is a pytree, so it passes straight into jitted render functions; the
+static geometry metadata (node count, block count, max leaf size) lives in
+aux_data so tracing specializes on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..scene.scene import Scene
+from .bvh import FlatBVHHost, build_bvh, concat_bvhs, triangle_blocks
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PreparedScene:
+    """Scene in BVH order + acceleration arrays (all device-resident)."""
+
+    scene: Scene              # triangle arrays permuted leaf-contiguous, padded
+    node_min: jnp.ndarray     # [M, 3]
+    node_max: jnp.ndarray     # [M, 3]
+    skip: jnp.ndarray         # [M]
+    leaf_first: jnp.ndarray   # [M]
+    leaf_count: jnp.ndarray   # [M]
+    block_min: jnp.ndarray    # [NB, 3]
+    block_max: jnp.ndarray    # [NB, 3]
+    # --- static (aux) ---
+    num_nodes: int = dataclasses.field(default=0)
+    num_blocks: int = dataclasses.field(default=0)
+    num_triangles: int = dataclasses.field(default=0)   # real (unpadded) count
+    max_leaf: int = dataclasses.field(default=8)
+    depth: int = dataclasses.field(default=0)
+    block_size: int = dataclasses.field(default=128)
+
+    _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
+            "leaf_count", "block_min", "block_max")
+    _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
+               "depth", "block_size")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, n) for n in self._DYN),
+                tuple(getattr(self, n) for n in self._STATIC))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
+    """Build per-object BVHs (reference topology), chain them into one global
+    stackless array, reorder+pad the scene, and compute triangle blocks."""
+    verts_cart = np.asarray(scene.verts[..., :3] / scene.verts[..., 3:4])
+    tri_obj = np.asarray(scene.tri_obj)
+    T = verts_cart.shape[0]
+
+    # object boundaries (SceneManager emits objects contiguously)
+    if T and np.any(np.diff(tri_obj) < 0):
+        order = np.argsort(tri_obj, kind="stable").astype(np.int32)
+        scene = scene.reorder(order)
+        verts_cart = verts_cart[order]
+        tri_obj = tri_obj[order]
+
+    bvhs, offsets = [], []
+    start = 0
+    while start < T:
+        end = start
+        while end < T and tri_obj[end] == tri_obj[start]:
+            end += 1
+        bvhs.append(build_bvh(verts_cart[start:end], cfg.bvh.leaf_size))
+        offsets.append(start)
+        start = end
+    if not bvhs:
+        bvhs = [build_bvh(np.zeros((0, 3, 3), np.float32), cfg.bvh.leaf_size)]
+        offsets = [0]
+    flat = concat_bvhs(bvhs, offsets)
+
+    scene = scene.reorder(flat.perm)
+
+    # pad triangles to a block multiple (+ leaf window slack) with degenerate
+    # copies of the last vertex: zero area (MT det = 0, never hits) and inside
+    # the last block's AABB.
+    bs = cfg.bvh.block_size
+    pad_to = max(-(-max(T, 1) // bs) * bs, T + flat.max_leaf)
+    pad_to = -(-pad_to // bs) * bs
+    pad = pad_to - T
+    scene_np = {f.name: np.asarray(getattr(scene, f.name))
+                for f in dataclasses.fields(Scene)}
+    if pad:
+        last_v = (scene_np["verts"][-1, 0:1, :] if T
+                  else np.array([[0, 0, 0, 1]], np.float32))
+        scene_np["verts"] = np.concatenate(
+            [scene_np["verts"],
+             np.broadcast_to(last_v, (pad, 3, 4)).copy()], axis=0)
+        for name, fill in (("vnormals", 0.0), ("uvs", 0.0), ("tri_color", 1.0)):
+            a = scene_np[name]
+            scene_np[name] = np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+        for name in ("tri_tex", "tri_obj"):
+            a = scene_np[name]
+            scene_np[name] = np.concatenate(
+                [a, np.full((pad,), -1, a.dtype)], axis=0)
+    padded = Scene(**{k: jnp.asarray(v) for k, v in scene_np.items()})
+
+    vc = np.asarray(padded.verts[..., :3] / padded.verts[..., 3:4])
+    bmin, bmax, nb = triangle_blocks(vc, bs)
+
+    return PreparedScene(
+        scene=padded,
+        node_min=jnp.asarray(flat.node_min),
+        node_max=jnp.asarray(flat.node_max),
+        skip=jnp.asarray(flat.skip),
+        leaf_first=jnp.asarray(flat.leaf_first),
+        leaf_count=jnp.asarray(flat.leaf_count),
+        block_min=jnp.asarray(bmin),
+        block_max=jnp.asarray(bmax),
+        num_nodes=int(len(flat.skip)),
+        num_blocks=int(nb),
+        num_triangles=int(T),
+        max_leaf=int(flat.max_leaf),
+        depth=int(flat.depth),
+        block_size=int(bs),
+    )

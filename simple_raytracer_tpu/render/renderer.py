@@ -87,12 +87,22 @@ def _render_jit(cfg: RenderConfig):
     return jax.jit(f)
 
 
+def ensure_prepared(scene, cfg: RenderConfig):
+    """Host step: build BVH/blocks when the mode needs them (idempotent)."""
+    from ..accel.prepared import PreparedScene, prepare
+    if cfg.mode == "bruteforce" or isinstance(scene, PreparedScene):
+        return scene
+    return prepare(scene, cfg)
+
+
 def render(scene, cfg: RenderConfig, light_pos) -> jnp.ndarray:
     """Full-frame render -> [H, W, 3] uint8 (background-filled, quantized).
 
     Jitted and cached per config (RenderConfig is frozen/hashable); repeat
-    frames with the same config recompile nothing.
+    frames with the same config recompile nothing.  Accepts a Scene or a
+    PreparedScene; BVH modes auto-prepare (host-side) when given a raw Scene.
     """
+    scene = ensure_prepared(scene, cfg)
     return _render_jit(cfg)(scene, jnp.asarray(light_pos, dtype=jnp.float32))
 
 
@@ -108,14 +118,22 @@ def render_radiance(scene, cfg: RenderConfig, light_pos
     d = d.reshape(-1, 3)
     light_pos = jnp.asarray(light_pos, dtype=d.dtype)
 
+    from ..accel.prepared import PreparedScene
     if cfg.mode == "bruteforce":
+        if isinstance(scene, PreparedScene):
+            scene = scene.scene
         radiance, hit = render_flat(scene, cfg, o, d, light_pos)
-    elif cfg.mode == "bvh":
-        from ..accel import traverse
-        radiance, hit = traverse.render_flat_bvh(scene, cfg, o, d, light_pos)
-    elif cfg.mode == "tiled":
-        from ..kernels import tiled
-        radiance, hit = tiled.render_flat_tiled(scene, cfg, o, d, light_pos)
+    elif cfg.mode in ("bvh", "tiled"):
+        if not isinstance(scene, PreparedScene):
+            raise TypeError(
+                f"mode '{cfg.mode}' needs a PreparedScene inside jit; call "
+                "accel.prepare(scene, cfg) (or the unjitted render()) first")
+        if cfg.mode == "bvh":
+            from ..accel import traverse
+            radiance, hit = traverse.render_flat_bvh(scene, cfg, o, d, light_pos)
+        else:
+            from ..kernels import tiled
+            radiance, hit = tiled.render_flat_tiled(scene, cfg, o, d, light_pos)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
 
