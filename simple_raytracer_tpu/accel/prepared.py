@@ -108,20 +108,23 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
             a = scene_np[name]
             scene_np[name] = np.concatenate(
                 [a, np.full((pad,), -1, a.dtype)], axis=0)
-    padded = Scene(**{k: jnp.asarray(v) for k, v in scene_np.items()})
+    # All host math stays numpy — on a tunneled TPU every intermediate device
+    # op is a network round trip (observed: 170s vs 0.7s for a 69k-tri
+    # prepare).  One single device_put of the finished pytree at the end.
+    padded = Scene(**scene_np)
 
-    vc = np.asarray(padded.verts[..., :3] / padded.verts[..., 3:4])
+    vc = padded.verts[..., :3] / padded.verts[..., 3:4]
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
-    return PreparedScene(
+    ps = PreparedScene(
         scene=padded,
-        node_min=jnp.asarray(flat.node_min),
-        node_max=jnp.asarray(flat.node_max),
-        skip=jnp.asarray(flat.skip),
-        leaf_first=jnp.asarray(flat.leaf_first),
-        leaf_count=jnp.asarray(flat.leaf_count),
-        block_min=jnp.asarray(bmin),
-        block_max=jnp.asarray(bmax),
+        node_min=flat.node_min,
+        node_max=flat.node_max,
+        skip=flat.skip,
+        leaf_first=flat.leaf_first,
+        leaf_count=flat.leaf_count,
+        block_min=bmin,
+        block_max=bmax,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),
         num_triangles=int(T),
@@ -129,3 +132,4 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         depth=int(flat.depth),
         block_size=int(bs),
     )
+    return jax.device_put(ps)

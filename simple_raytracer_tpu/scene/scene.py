@@ -207,24 +207,28 @@ class SceneManager:
             datas = [np.zeros((1, 3), np.float32)]
             offs, ws, hs = [0], [1], [1]
 
+        # NOTE: arrays stay NUMPY here.  Host-side prep (BVH build, reorder,
+        # padding) must not bounce through the device — on a tunneled TPU every
+        # small op is a network round trip (observed: 170s vs 5s CPU time for a
+        # 69k-tri prepare).  The single host->device transfer happens when the
+        # pytree first crosses a jit boundary.
         return Scene(
-            verts=jnp.asarray(verts),
-            vnormals=jnp.asarray(cat(ns, (0, 3, 3))),
-            uvs=jnp.asarray(cat(us, (0, 3, 2))),
-            tri_color=jnp.asarray(cat(tcs, (0, 3))),
-            tri_tex=jnp.asarray(cat(tts, (0,), np.int32)),
-            tri_obj=jnp.asarray(cat(tos, (0,), np.int32)),
-            obj_color=jnp.asarray(
-                np.array([self.objects[k].color for k in keys], np.float32)
-                if O else np.zeros((0, 3), np.float32)),
-            obj_ambient=jnp.asarray(
-                np.array([self.objects[k].ambient for k in keys], np.float32)),
-            obj_specular=jnp.asarray(
-                np.array([self.objects[k].specular for k in keys], np.float32)),
-            obj_shininess=jnp.asarray(
-                np.array([self.objects[k].shininess for k in keys], np.float32)),
-            tex_data=jnp.asarray(np.concatenate(datas, axis=0)),
-            tex_offset=jnp.asarray(np.array(offs, np.int32)),
-            tex_width=jnp.asarray(np.array(ws, np.int32)),
-            tex_height=jnp.asarray(np.array(hs, np.int32)),
+            verts=np.asarray(verts, np.float32),
+            vnormals=np.asarray(cat(ns, (0, 3, 3)), np.float32),
+            uvs=np.asarray(cat(us, (0, 3, 2)), np.float32),
+            tri_color=np.asarray(cat(tcs, (0, 3)), np.float32),
+            tri_tex=np.asarray(cat(tts, (0,), np.int32), np.int32),
+            tri_obj=np.asarray(cat(tos, (0,), np.int32), np.int32),
+            obj_color=(np.array([self.objects[k].color for k in keys], np.float32)
+                       if O else np.zeros((0, 3), np.float32)),
+            obj_ambient=np.array(
+                [self.objects[k].ambient for k in keys], np.float32),
+            obj_specular=np.array(
+                [self.objects[k].specular for k in keys], np.float32),
+            obj_shininess=np.array(
+                [self.objects[k].shininess for k in keys], np.float32),
+            tex_data=np.concatenate(datas, axis=0),
+            tex_offset=np.array(offs, np.int32),
+            tex_width=np.array(ws, np.int32),
+            tex_height=np.array(hs, np.int32),
         )
