@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import intersect as isect
 from ..render import integrator
+from ..utils import match_vma
 from .prepared import PreparedScene
 
 
@@ -47,23 +48,23 @@ def nearest_hit(prep: PreparedScene, o: jnp.ndarray, d: jnp.ndarray,
         first = jnp.maximum(prep.leaf_first[i], 0)
         is_leaf = count > 0
 
-        def leaf_case(args):
-            best_t, best_idx = args
-            ts = _leaf_ts(prep, verts_cart, o, d, first, eps)
-            ts = jnp.where(lane < count, ts, jnp.inf)
-            k = jnp.argmin(ts)
-            t = ts[k]
-            better = t < best_t
-            return (jnp.where(better, t, best_t),
-                    jnp.where(better, (first + k).astype(jnp.int32), best_idx))
-
-        best_t, best_idx = jax.lax.cond(
-            hit & is_leaf, leaf_case, lambda a: a, (best_t, best_idx))
+        # Masked unconditional leaf test: under vmap a lax.cond lowers to
+        # both-branches-select anyway, and inside shard_map cond branches
+        # trip varying-axes typing — so the mask formulation is both the
+        # faster and the portable one.
+        ts = _leaf_ts(prep, verts_cart, o, d, first, eps)
+        ts = jnp.where((lane < count) & hit & is_leaf, ts, jnp.inf)
+        k = jnp.argmin(ts)
+        t = ts[k]
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_idx = jnp.where(better, (first + k).astype(jnp.int32), best_idx)
         nxt = jnp.where(hit & ~is_leaf, i + 1, prep.skip[i])
         return nxt, best_t, best_idx
 
     _, t, idx = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.inf, jnp.int32(-1)))
+        cond, body, (match_vma(jnp.int32(0), o), match_vma(jnp.inf, o),
+                     match_vma(jnp.int32(-1), o)))
     return t, idx
 
 
@@ -88,17 +89,16 @@ def any_hit_other(prep: PreparedScene, o: jnp.ndarray, d: jnp.ndarray,
         first = jnp.maximum(prep.leaf_first[i], 0)
         is_leaf = count > 0
 
-        def leaf_case(found):
-            ts = _leaf_ts(prep, verts_cart, o, d, first, eps)
-            objs = jax.lax.dynamic_slice(tri_obj, (first,), (prep.max_leaf,))
-            occ = jnp.isfinite(ts) & (lane < count) & (objs != self_obj)
-            return found | jnp.any(occ)
-
-        found = jax.lax.cond(hit & is_leaf, leaf_case, lambda f: f, found)
+        ts = _leaf_ts(prep, verts_cart, o, d, first, eps)
+        objs = jax.lax.dynamic_slice(tri_obj, (first,), (prep.max_leaf,))
+        occ = jnp.isfinite(ts) & (lane < count) & (objs != self_obj) & \
+            hit & is_leaf
+        found = found | jnp.any(occ)
         nxt = jnp.where(hit & ~is_leaf, i + 1, prep.skip[i])
         return nxt, found
 
-    _, found = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+    _, found = jax.lax.while_loop(
+        cond, body, (match_vma(jnp.int32(0), o), match_vma(jnp.bool_(False), o)))
     return found
 
 

@@ -1,0 +1,167 @@
+"""Ring geometry-sharded intersection — the sequence-parallel analog.
+
+For scenes too large to replicate per chip, the triangle axis is sharded over
+a mesh axis ("gp").  Ray blocks then ring-rotate around the devices with
+`lax.ppermute` (the same schedule as ring attention's KV rotation), each step
+intersecting the resident geometry shard and folding the result into a running
+min-t hit record carried WITH the ray block.  After `n` rotations every block
+is home with the global nearest hit — no gather of remote triangle data ever
+happens; the winning triangle's attributes ride along in the record.
+
+Reference contrast: the reference loops objects per ray on one thread
+(simple_raytracer.cpp:405-457); here the "loop over geometry" is a pipelined
+collective over ICI.
+
+All functions here run INSIDE shard_map (they use axis names).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import RenderConfig
+from ..ops import intersect as isect
+from ..render import integrator
+from ..utils import match_vma
+
+
+def _local_nearest(verts_local, o, d, eps):
+    """Brute-force nearest hit of rays [R,3] against the LOCAL triangle shard.
+    Returns (t [R], local_idx [R])."""
+    ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
+                               verts_local[None, :, :, :], eps)   # [R, Tl]
+    idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+    t = jnp.take_along_axis(ts, idx[:, None], axis=-1)[:, 0]
+    return t, idx
+
+
+def _empty_record(R, dtype=jnp.float32):
+    return {
+        "tri_v": jnp.zeros((R, 3, 3), dtype),
+        "vnormals": jnp.zeros((R, 3, 3), dtype),
+        "uvs": jnp.zeros((R, 3, 2), dtype),
+        "obj": jnp.full((R,), -1, jnp.int32),
+        "tex_id": jnp.full((R,), -1, jnp.int32),
+    }
+
+
+def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
+    """Global nearest hit with triangle-sharded geometry.
+
+    Args:
+      shard: dict with the LOCAL triangle shard —
+        verts_cart [Tl,3,3], vnormals [Tl,3,3], uvs [Tl,3,2],
+        tri_obj [Tl], tri_tex [Tl] (equal Tl per device; pad with degenerate
+        triangles).
+      o, d: [R, 3] this device's home ray block.
+      axis: mesh axis name the geometry is sharded over.
+
+    Returns (t [R], record dict) — the hit record carries the winning
+    triangle's attributes, so shading needs no remote gathers.
+    """
+    n = lax.axis_size(axis)
+    R = o.shape[0]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        o, d, best_t, rec = carry
+        t, li = _local_nearest(shard["verts_cart"], o, d, eps)
+        better = t < best_t
+        bv = better[:, None, None]
+        rec = {
+            "tri_v": jnp.where(bv, shard["verts_cart"][li], rec["tri_v"]),
+            "vnormals": jnp.where(bv, shard["vnormals"][li], rec["vnormals"]),
+            "uvs": jnp.where(better[:, None, None], shard["uvs"][li],
+                             rec["uvs"]),
+            "obj": jnp.where(better, shard["tri_obj"][li], rec["obj"]),
+            "tex_id": jnp.where(better, shard["tri_tex"][li], rec["tex_id"]),
+        }
+        best_t = jnp.minimum(best_t, t)
+        # rotate the ray block + its running record to the next device
+        o, d, best_t, rec = lax.ppermute((o, d, best_t, rec), axis, perm)
+        return (o, d, best_t, rec), None
+
+    init = jax.tree.map(
+        lambda x: match_vma(x, o),
+        (o, d, jnp.full((R,), jnp.inf, o.dtype), _empty_record(R, o.dtype)))
+    (o2, d2, t, rec), _ = lax.scan(step, init, None, length=n)
+    # n rotations of +1 bring every block back to its home device
+    return t, rec
+
+
+def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
+                       eps: float = 1e-12):
+    """Shadow predicate under geometry sharding: ANY hit (t >= 0, no max-t —
+    the reference quirk, simple_raytracer.cpp:321-342) on a triangle of a
+    DIFFERENT object, across all shards."""
+    n = lax.axis_size(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        o, d, self_obj, found = carry
+        ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
+                                   shard["verts_cart"][None], eps)
+        occ = jnp.isfinite(ts) & (shard["tri_obj"][None, :] != self_obj[:, None])
+        found = found | jnp.any(occ, axis=-1)
+        carry = lax.ppermute((o, d, self_obj, found), axis, perm)
+        return carry, None
+
+    init = (o, d, self_obj, match_vma(jnp.zeros(o.shape[:1], jnp.bool_), o))
+    (_, _, _, found), _ = lax.scan(step, init, None, length=n)
+    return found
+
+
+def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
+                     axis: str = "gp"):
+    """Geometry-sharded renderer body (call inside shard_map).
+
+    ``scene`` supplies only the small replicated tables (object materials,
+    texture atlas); all triangle data lives in ``shard``.  Returns
+    (radiance [R,3], hit [R]) for this device's home ray block.
+    """
+    t, rec = ring_nearest_hit(shard, o, d, axis, cfg.mt_eps)
+    shadow_fn = None
+    if cfg.light.enable_shadows:
+        shadow_fn = lambda p, l, s: ring_any_hit_other(
+            shard, p, l - p, s, axis, cfg.mt_eps)
+    radiance = integrator.shade_records(scene, cfg, rec, o, d, t, light_pos,
+                                        shadow_fn)
+    return radiance, jnp.isfinite(t)
+
+
+def shard_geometry(scene, n: int):
+    """HOST helper: split the scene's triangle arrays into ``n`` equal shards
+    (padded with degenerate triangles that never hit).  Returns arrays with a
+    leading device axis [n, Tl, ...] suitable for shard_map in_specs P('gp')."""
+    import numpy as np
+    verts = np.asarray(scene.verts)
+    T = verts.shape[0]
+    Tl = -(-max(T, 1) // n)
+    pad = n * Tl - T
+
+    def pad0(a, fill):
+        if pad == 0 and T > 0:
+            return np.asarray(a)
+        out = np.full((n * Tl,) + a.shape[1:], fill, a.dtype)
+        out[:T] = a
+        return out
+
+    vc = verts[..., :3] / verts[..., 3:4]
+    if T:
+        # degenerate pad: copies of the last vertex -> zero-area, never hits
+        vpad = np.broadcast_to(vc[-1:, 0:1, :], (1, 3, 3))
+    else:
+        vpad = np.zeros((1, 3, 3), np.float32)
+    vc_full = np.concatenate([vc, np.broadcast_to(vpad, (pad, 3, 3))], axis=0) \
+        if pad else vc
+    return {
+        "verts_cart": vc_full.reshape(n, Tl, 3, 3).astype(np.float32),
+        "vnormals": pad0(np.asarray(scene.vnormals), 0).reshape(n, Tl, 3, 3),
+        "uvs": pad0(np.asarray(scene.uvs), 0).reshape(n, Tl, 3, 2),
+        "tri_obj": pad0(np.asarray(scene.tri_obj), -1).reshape(n, Tl),
+        "tri_tex": pad0(np.asarray(scene.tri_tex), -1).reshape(n, Tl),
+    }

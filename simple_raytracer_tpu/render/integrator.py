@@ -35,27 +35,36 @@ def light_sample_positions(light_pos, num_samples: int, jitter_step: float):
     return light_pos[None, :] + jnp.asarray(offsets)
 
 
-def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
-          t: jnp.ndarray, tri_idx: jnp.ndarray, light_pos: jnp.ndarray,
-          shadow_fn: Optional[Callable] = None) -> jnp.ndarray:
-    """Shade flat rays given nearest-hit records.
+def gather_hit_records(scene, tri_idx: jnp.ndarray) -> dict:
+    """Gather per-ray triangle data from the scene by global triangle index.
 
-    Args:
-      origin/direction: [R, 3] rays (unnormalized directions).
-      t: [R] hit distance (+inf = miss).
-      tri_idx: [R] global triangle index (-1 = miss; clamped for gathers).
-      light_pos: [3] base light position (already in view space, :776-778).
-      shadow_fn: (point [R,3], light [R,3], self_obj [R]) -> bool [R] shadowed.
-        None disables shadows (reference toggle :385-386).
+    The record dict is the unit the shading core consumes; the ring
+    geometry-sharded renderer (dist/ring.py) builds the same records by
+    carrying them around the device ring instead of gathering.
+    """
+    idx = jnp.maximum(tri_idx, 0)
+    return {
+        "tri_v": scene.verts_cart()[idx],     # [R, 3, 3]
+        "vnormals": scene.vnormals[idx],      # [R, 3, 3]
+        "uvs": scene.uvs[idx],                # [R, 3, 2]
+        "obj": scene.tri_obj[idx],            # [R]
+        "tex_id": scene.tri_tex[idx],         # [R]
+    }
 
-    Returns [R, 3] tone-mapped radiance in [0,1] (pre-quantization); misses
-    hold garbage — mask with ``t < inf`` downstream.
+
+def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
+                  direction: jnp.ndarray, t: jnp.ndarray,
+                  light_pos: jnp.ndarray,
+                  shadow_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Shading core over explicit per-ray hit records.
+
+    ``scene`` supplies only the small replicated tables (object materials +
+    texture atlas); all triangle-indexed data comes from ``record``.
     """
     scfg, lcfg = cfg.shading, cfg.light
-    idx = jnp.maximum(tri_idx, 0)
-    tri_v = scene.verts_cart()[idx]                    # [R, 3, 3]
-    obj = scene.tri_obj[idx]                           # [R]
-    tex_id = scene.tri_tex[idx]                        # [R]
+    tri_v = record["tri_v"]
+    obj = jnp.maximum(record["obj"], 0)
+    tex_id = record["tex_id"]
 
     point = origin + t[..., None] * direction          # :156, :351
 
@@ -65,13 +74,13 @@ def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
     bary = sh.barycentric(tri_v, point)
     base_color = scene.obj_color[obj]
     textured = tex_id >= 0
-    texel = sh.interpolate_uv(scene.uvs[idx], bary)
+    texel = sh.interpolate_uv(record["uvs"], bary)
     tex_rgb = sh.texture_fetch(scene.tex_data, scene.tex_offset,
                                scene.tex_width, scene.tex_height, tex_id, texel)
     color_in = jnp.where(textured[..., None], tex_rgb, base_color)
 
     if scfg.smooth_normals:
-        normal = sh.smooth_normal(scene.vnormals[idx], bary)
+        normal = sh.smooth_normal(record["vnormals"], bary)
     else:
         normal = sh.flat_normal(tri_v)
 
@@ -95,6 +104,27 @@ def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
     if scfg.tonemap_enabled:
         accum = sh.tonemap(accum, scfg.reinhard_offset, scfg.gamma)
     return accum
+
+
+def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
+          t: jnp.ndarray, tri_idx: jnp.ndarray, light_pos: jnp.ndarray,
+          shadow_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Shade flat rays given nearest-hit indices (gather + shading core).
+
+    Args:
+      origin/direction: [R, 3] rays (unnormalized directions).
+      t: [R] hit distance (+inf = miss).
+      tri_idx: [R] global triangle index (-1 = miss; clamped for gathers).
+      light_pos: [3] base light position (already in view space, :776-778).
+      shadow_fn: (point [R,3], light [R,3], self_obj [R]) -> bool [R] shadowed.
+        None disables shadows (reference toggle :385-386).
+
+    Returns [R, 3] tone-mapped radiance in [0,1] (pre-quantization); misses
+    hold garbage — mask with ``t < inf`` downstream.
+    """
+    record = gather_hit_records(scene, tri_idx)
+    return shade_records(scene, cfg, record, origin, direction, t, light_pos,
+                         shadow_fn)
 
 
 def finalize_image(radiance: jnp.ndarray, hit: jnp.ndarray,
