@@ -100,6 +100,11 @@ class RenderConfig:
     # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px rays).
     tile_px: int = 16
 
+    # Rays processed per lax.map chunk in the bvh/bruteforce paths (bounds the
+    # per-ray gather scratch, which would otherwise scale O(R * max_leaf * 9)
+    # and OOM at 1080p).  0 = single chunk.
+    ray_chunk: int = 131072
+
     # Background for pixels with no hit OR hits shading to exactly (0,0,0):
     # light blue 173,216,230 (simple_raytracer.cpp:476-487).
     background: Tuple[int, int, int] = (173, 216, 230)

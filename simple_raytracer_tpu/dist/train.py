@@ -113,3 +113,94 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
         return params, loss
 
     return step
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ReplicatedParams:
+    """Differentiable params that stay replicated under geometry sharding
+    (per-triangle params like verts are sharded over 'gp' instead and ride in
+    the geometry shard)."""
+
+    obj_color: jnp.ndarray
+    obj_ambient: jnp.ndarray
+    obj_specular: jnp.ndarray
+    obj_shininess: jnp.ndarray
+    tex_data: jnp.ndarray
+    light_pos: jnp.ndarray
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f.name)
+                      for f in dataclasses.fields(self)), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_train_step_composed(scene, cfg: RenderConfig, mesh: Mesh,
+                             dp_axis: str = "dp", gp_axis: str = "gp",
+                             lr: float = 1e-3):
+    """Composed DP x geometry-parallel training step over a 2D mesh.
+
+    Rays are sharded over BOTH axes (every device owns a home ray block);
+    geometry is sharded over ``gp_axis`` (replicated over ``dp_axis``) and
+    ring-rotates ray blocks per gp ring (dist/ring.py).  Materials/light/
+    textures are replicated and their gradient all-reduce over both axes is
+    inserted by AD; per-triangle data is non-differentiable here (vertex
+    gradients are covered by the DP-only step, which keeps geometry
+    replicated).
+
+    Returns (step, params0, shard) with step(params, target [H,W,3]) ->
+    (params, loss).
+    """
+    from . import ring as ring_mod
+    from ..render import integrator
+
+    scene = jax.device_put(scene)
+    cam = cfg.camera
+    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    R = o.shape[0]
+    n_total = mesh.shape[dp_axis] * mesh.shape[gp_axis]
+    assert R % n_total == 0, f"rays {R} not divisible by {n_total} devices"
+    shard = ring_mod.shard_geometry(scene, mesh.shape[gp_axis])
+
+    def local_loss(params: ReplicatedParams, shard_local, oo, dd, tt):
+        s = scene.replace(
+            obj_color=params.obj_color, obj_ambient=params.obj_ambient,
+            obj_specular=params.obj_specular,
+            obj_shininess=params.obj_shininess, tex_data=params.tex_data)
+        radiance, hit = ring_mod.render_flat_ring(
+            s, shard_local, cfg, oo, dd, params.light_pos, axis=gp_axis)
+        pred = jnp.where(hit[:, None], radiance, 0.0)
+        return jnp.sum((pred - tt) ** 2)
+
+    def shard_body(params, shard_arr, oo, dd, tt):
+        shard_local = jax.tree.map(lambda a: a[0], shard_arr)
+        return jax.lax.psum(local_loss(params, shard_local, oo, dd, tt),
+                            (dp_axis, gp_axis))
+
+    f = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(gp_axis), P((dp_axis, gp_axis)),
+                  P((dp_axis, gp_axis)), P((dp_axis, gp_axis))),
+        out_specs=P())
+
+    def loss_fn(params, target):
+        return f(params, shard, o, d, target.reshape(-1, 3)) / R
+
+    @jax.jit
+    def step(params: ReplicatedParams, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    params0 = ReplicatedParams(
+        obj_color=jnp.asarray(scene.obj_color),
+        obj_ambient=jnp.asarray(scene.obj_ambient),
+        obj_specular=jnp.asarray(scene.obj_specular),
+        obj_shininess=jnp.asarray(scene.obj_shininess),
+        tex_data=jnp.asarray(scene.tex_data),
+        light_pos=jnp.zeros(3, jnp.float32))
+    return step, params0, shard

@@ -79,6 +79,27 @@ def render_flat(scene, cfg: RenderConfig, origin, direction, light_pos,
     return radiance, jnp.isfinite(t)
 
 
+def _map_ray_chunks(body, o, d, chunk: int):
+    """Serialize flat rays through ``body`` in fixed-size chunks (lax.map).
+
+    Bounds the live per-ray scratch (leaf-window gathers are O(R * max_leaf *
+    9) floats if unchunked — 34 GB at 1080p) while keeping each chunk large
+    enough to saturate the chip.  Pads with the last ray; harmless dup work.
+    """
+    R = o.shape[0]
+    if chunk <= 0 or R <= chunk:
+        return body(o, d)
+    n = -(-R // chunk)
+    pad = n * chunk - R
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], axis=0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], axis=0)
+    rad, hit = jax.lax.map(
+        lambda od: body(od[0], od[1]),
+        (o.reshape(n, chunk, 3), d.reshape(n, chunk, 3)))
+    return rad.reshape(-1, 3)[:R], hit.reshape(-1)[:R]
+
+
 @functools.lru_cache(maxsize=64)
 def _render_jit(cfg: RenderConfig):
     def f(scene, light_pos):
@@ -122,7 +143,7 @@ def render_radiance(scene, cfg: RenderConfig, light_pos
     if cfg.mode == "bruteforce":
         if isinstance(scene, PreparedScene):
             scene = scene.scene
-        radiance, hit = render_flat(scene, cfg, o, d, light_pos)
+        body = lambda oo, dd: render_flat(scene, cfg, oo, dd, light_pos)
     elif cfg.mode in ("bvh", "tiled"):
         if not isinstance(scene, PreparedScene):
             raise TypeError(
@@ -130,12 +151,15 @@ def render_radiance(scene, cfg: RenderConfig, light_pos
                 "accel.prepare(scene, cfg) (or the unjitted render()) first")
         if cfg.mode == "bvh":
             from ..accel import traverse
-            radiance, hit = traverse.render_flat_bvh(scene, cfg, o, d, light_pos)
+            body = lambda oo, dd: traverse.render_flat_bvh(
+                scene, cfg, oo, dd, light_pos)
         else:
             from ..kernels import tiled
-            radiance, hit = tiled.render_flat_tiled(scene, cfg, o, d, light_pos)
+            body = lambda oo, dd: tiled.render_flat_tiled(
+                scene, cfg, oo, dd, light_pos)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
+    radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
 
     H, W = cam.height, cam.width
     return radiance.reshape(H, W, 3), hit.reshape(H, W)
