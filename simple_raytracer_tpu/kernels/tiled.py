@@ -1,0 +1,391 @@
+"""Tiled Pallas renderer: MXU Möller–Trumbore over culled triangle blocks.
+
+The TPU performance path.  Design (SURVEY.md §7):
+
+* **MT on the MXU.**  All four Möller–Trumbore scalars for a (ray, triangle)
+  pair are one contraction of ray features F[r,:] = [d, o×d, o, 1] with a
+  per-triangle Gram matrix (ops/intersect.py:pack_mt_gram).  A ray tile
+  (TILE_R rays) × triangle block (B tris) intersection is then a single
+  [TILE_R,16] @ [16,4B] matmul — the hot loop lives on the systolic array
+  instead of the VPU, replacing the reference's scalar kernel
+  (simple_raytracer.cpp:42-75).
+* **Block culling instead of per-ray BVH walks.**  Per-ray pointer chasing
+  (simple_raytracer.cpp:296-317) is hostile to a lockstep SIMD machine.
+  Triangles are BVH-reordered so consecutive triangles are spatially coherent
+  (accel/bvh.py:triangle_blocks), and each RAY TILE culls whole blocks with a
+  conservative interval slab test (tile ray bounds × block AABB) — computed
+  as one dense jnp op, giving a compacted per-tile block list.
+* **Double-buffered DMA.**  Inside the kernel, each tile walks its block list
+  with `pltpu.make_async_copy` HBM→VMEM, overlapping the next block's fetch
+  with the current matmul.
+* Misses return t=+inf / idx=-1, matching ops/intersect.py conventions.
+
+Falls back to interpret mode off-TPU so the same code is CPU-testable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..ops import intersect as isect
+from ..render import integrator
+
+F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
+NEG_BIG = -3.0e38
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Host/jnp-side packing
+# ---------------------------------------------------------------------------
+
+def pack_gram_blocks(verts_cart: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[T,3,3] (T a multiple of ``block``) -> Gt [NB, F_DIM, 4*block] with
+    column groups det | u_num | v_num | t_num, each ``block`` wide."""
+    G = isect.pack_mt_gram(verts_cart)                  # [T, 10, 4]
+    T = G.shape[0]
+    NB = T // block
+    Gt = G.reshape(NB, block, 10, 4).transpose(0, 2, 3, 1)   # [NB,10,4,B]
+    Gt = Gt.reshape(NB, 10, 4 * block)
+    pad = jnp.zeros((NB, F_DIM - 10, 4 * block), Gt.dtype)
+    return jnp.concatenate([Gt, pad], axis=1)
+
+
+def ray_tile_features(o: jnp.ndarray, d: jnp.ndarray, tile: int):
+    """Flat rays [R,3] -> (F [n_tiles, tile, F_DIM], n_tiles, R).  Pads R up
+    with the last ray (harmless duplicate work)."""
+    R = o.shape[0]
+    n = -(-R // tile)
+    pad = n * tile - R
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    F = isect.ray_features(o, d)                         # [Rp, 10]
+    F = jnp.concatenate(
+        [F, jnp.zeros((F.shape[0], F_DIM - 10), F.dtype)], axis=-1)
+    return F.reshape(n, tile, F_DIM), n, R
+
+
+def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
+                block_min: jnp.ndarray, block_max: jnp.ndarray):
+    """Conservative per-(ray tile, triangle block) visibility.
+
+    Interval-arithmetic slab test: each tile is abstracted by the AABBs of its
+    ray origins and directions; a block can be skipped only if NO ray with
+    o in [omin,omax], d in [dmin,dmax], t >= 0 can touch the block AABB.
+    Per axis the reachable-t set is an interval (or everything, when the
+    direction interval spans 0 or the offset interval spans 0); the block is
+    visible iff the three axis intervals intersect.
+
+    Returns (ids [n_tiles, NB] i32 — visible block ids first, counts
+    [n_tiles] i32).
+    """
+    R = o.shape[0]
+    n = -(-R // tile)
+    pad = n * tile - R
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    ot = o.reshape(n, tile, 3)
+    dt = d.reshape(n, tile, 3)
+    omin, omax = ot.min(1), ot.max(1)                    # [n, 3]
+    dmin, dmax = dt.min(1), dt.max(1)
+
+    INF = jnp.float32(jnp.inf)
+    # offset interval [lo, hi] = [bmin - omax, bmax - omin]  per (tile, block)
+    lo = block_min[None, :, :] - omax[:, None, :]        # [n, NB, 3]
+    hi = block_max[None, :, :] - omin[:, None, :]
+    dn = dmin[:, None, :]
+    dx = dmax[:, None, :]
+    # t*d must land in [lo, hi] for some d in [dn, dx], t >= 0.
+    cands = jnp.stack([_safe_div(lo, dn), _safe_div(lo, dx),
+                       _safe_div(hi, dn), _safe_div(hi, dx)], axis=0)
+    tmin_ax = jnp.min(cands, axis=0)
+    tmax_ax = jnp.max(cands, axis=0)
+    # whole [0, inf) reachable when the direction interval spans 0 (some ray
+    # can have d_k ~ 0 => any t keeps the axis satisfiable if 0 in [lo, hi]),
+    # or conservatively when the offset interval contains 0.
+    spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo <= 0.0) & (hi >= 0.0))
+    tmin_ax = jnp.where(spans, 0.0, jnp.maximum(tmin_ax, 0.0))
+    tmax_ax = jnp.where(spans, INF, tmax_ax)
+    t_lo = jnp.max(tmin_ax, axis=-1)                     # [n, NB]
+    t_hi = jnp.min(tmax_ax, axis=-1)
+    visible = (t_hi >= t_lo) & (t_hi >= 0.0)
+
+    counts = visible.sum(axis=-1).astype(jnp.int32)
+    # visible ids first (stable argsort of ~visible)
+    ids = jnp.argsort(~visible, axis=-1, stable=True).astype(jnp.int32)
+    return ids, counts
+
+
+def _safe_div(a, b):
+    """Interval endpoint division: a/0 -> sign(a)*inf, 0/0 -> 0.  (Any NaN
+    that could leak from these corners is masked by the ``spans`` branch in
+    cull_blocks, but keep the endpoints finite-signed anyway.)"""
+    return jnp.where(b == 0.0,
+                     jnp.where(a == 0.0, 0.0, jnp.sign(a) * jnp.inf),
+                     a / jnp.where(b == 0.0, 1.0, b))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _nearest_kernel(block: int, eps: float, counts_ref, F_ref, ids_hbm, G_hbm,
+                    t_ref, idx_ref, ids_smem, gbuf, sem_ids, sem_g):
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+
+    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
+    cp.start()
+    cp.wait()
+
+    F = F_ref[0]                                         # [TILE_R, F_DIM]
+    TILE_R = F.shape[0]
+    B = block
+
+    def g_dma(slot, k):
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]], gbuf.at[slot],
+                                     sem_g.at[slot])
+
+    @pl.when(cnt > 0)
+    def _():
+        g_dma(0, 0).start()
+
+    def body(k, carry):
+        best_t, best_i = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            g_dma((k + 1) % 2, k + 1).start()
+
+        g_dma(slot, k).wait()
+        quad = jnp.dot(F, gbuf[slot],
+                       preferred_element_type=jnp.float32)   # [TILE_R, 4B]
+        det = quad[:, :B]
+        u_num = quad[:, B:2 * B]
+        v_num = quad[:, 2 * B:3 * B]
+        t_num = quad[:, 3 * B:]
+        inv = 1.0 / det
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
+                (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        t = jnp.where(valid, t, jnp.inf)
+        bt = jnp.min(t, axis=1)                              # [TILE_R]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, B), 1)
+        bj = jnp.min(jnp.where(t == bt[:, None], lane, B), axis=1)
+        better = bt < best_t
+        best_t = jnp.where(better, bt, best_t)
+        best_i = jnp.where(better & (bj < B),
+                           ids_smem[k] * B + bj, best_i)
+        return best_t, best_i
+
+    init = (jnp.full((TILE_R,), jnp.inf, jnp.float32),
+            jnp.full((TILE_R,), -1, jnp.int32))
+    best_t, best_i = jax.lax.fori_loop(0, cnt, body, init)
+    t_ref[0, :] = best_t
+    idx_ref[0, :] = best_i
+
+
+def _anyhit_kernel(block: int, eps: float, counts_ref, F_ref, self_ref,
+                   ids_hbm, G_hbm, obj_hbm, hit_ref, ids_smem, gbuf, obuf,
+                   sem_ids, sem_g, sem_o):
+    """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
+    simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+
+    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
+    cp.start()
+    cp.wait()
+
+    F = F_ref[0]
+    self_obj = self_ref[0]                               # [TILE_R] f32
+    TILE_R = F.shape[0]
+    B = block
+
+    def g_dma(slot, k):
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]], gbuf.at[slot],
+                                     sem_g.at[slot])
+
+    def o_dma(slot, k):
+        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k]], obuf.at[slot],
+                                     sem_o.at[slot])
+
+    @pl.when(cnt > 0)
+    def _():
+        g_dma(0, 0).start()
+        o_dma(0, 0).start()
+
+    def body(k, found):
+        slot = k % 2
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            g_dma((k + 1) % 2, k + 1).start()
+            o_dma((k + 1) % 2, k + 1).start()
+
+        g_dma(slot, k).wait()
+        o_dma(slot, k).wait()
+        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32)
+        det = quad[:, :B]
+        u_num = quad[:, B:2 * B]
+        v_num = quad[:, 2 * B:3 * B]
+        t_num = quad[:, 3 * B:]
+        inv = 1.0 / det
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
+                (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        other = obuf[slot] != self_obj[:, None]          # [TILE_R, B]
+        return found | jnp.any(valid & other, axis=1)
+
+    init = jnp.zeros((TILE_R,), jnp.bool_)
+    found = jax.lax.fori_loop(0, cnt, body, init)
+    hit_ref[0, :] = found
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
+def tiled_nearest(F, ids, counts, Gt, tile: int, block: int, eps: float):
+    """F [n,tile,F_DIM], ids [n,NB] i32, counts [n] i32, Gt [NB,F_DIM,4B]
+    -> (t [n,tile], idx [n,tile])."""
+    n, NB = ids.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ids (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # Gt  (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((NB,), jnp.int32),
+            pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_nearest_kernel, block, eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n, tile), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(counts, F, ids, Gt)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
+def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
+                 tile: int, block: int, eps: float):
+    """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
+    -> found [n, tile] bool."""
+    n, NB = ids.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ids
+            pl.BlockSpec(memory_space=pl.ANY),     # Gt
+            pl.BlockSpec(memory_space=pl.ANY),     # obj blocks
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((NB,), jnp.int32),
+            pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
+            pltpu.VMEM((2, block), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (found,) = pl.pallas_call(
+        functools.partial(_anyhit_kernel, block, eps),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, tile), jnp.bool_)],
+        interpret=_interpret(),
+    )(counts, F, self_obj, ids, Gt, obj_blocks)
+    return found
+
+
+# ---------------------------------------------------------------------------
+# Renderer front-end
+# ---------------------------------------------------------------------------
+
+def tiled_hits(prep, origin, direction, tile: int, eps: float):
+    """Nearest hit over flat rays via the tiled kernel.  Returns (t, idx)."""
+    verts_cart = prep.scene.verts_cart()
+    block = prep.block_size
+    Gt = pack_gram_blocks(verts_cart, block)
+    F, n, R = ray_tile_features(origin, direction, tile)
+    ids, counts = cull_blocks(origin, direction, tile,
+                              prep.block_min, prep.block_max)
+    t, idx = tiled_nearest(F, ids, counts, Gt, tile, block, eps)
+    return t.reshape(-1)[:R], idx.reshape(-1)[:R]
+
+
+def tiled_shadow_fn(prep, tile: int, eps: float):
+    verts_cart = prep.scene.verts_cart()
+    block = prep.block_size
+    Gt = pack_gram_blocks(verts_cart, block)
+    obj_blocks = prep.scene.tri_obj.astype(jnp.float32).reshape(-1, block)
+
+    def shadow(point, light, self_obj):
+        d = light - point
+        F, n, R = ray_tile_features(point, d, tile)
+        ids, counts = cull_blocks(point, d, tile,
+                                  prep.block_min, prep.block_max)
+        so = self_obj.astype(jnp.float32)
+        pad = n * tile - R
+        if pad:
+            so = jnp.concatenate(
+                [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
+        found = tiled_anyhit(F, so.reshape(n, tile), ids, counts, Gt,
+                             obj_blocks, tile, block, eps)
+        return found.reshape(-1)[:R]
+
+    return shadow
+
+
+def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
+    """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
+    tile = cfg.tile_px * cfg.tile_px
+    t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps)
+    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps) \
+        if cfg.light.enable_shadows else None
+    radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
+                                tri_idx, light_pos, shadow_fn)
+    return radiance, jnp.isfinite(t)

@@ -159,7 +159,10 @@ def render_radiance(scene, cfg: RenderConfig, light_pos
                 scene, cfg, oo, dd, light_pos)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
-    radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
+    # tiled mode manages its own memory (block DMA inside the kernel) and its
+    # Gram packing must not be re-emitted inside a chunk loop
+    chunk = 0 if cfg.mode == "tiled" else cfg.ray_chunk
+    radiance, hit = _map_ray_chunks(body, o, d, chunk)
 
     H, W = cam.height, cam.width
     return radiance.reshape(H, W, 3), hit.reshape(H, W)
