@@ -30,3 +30,28 @@ def primary_rays(width: int, height: int, focal: float = 400.0,
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.zeros_like(d)
     return o, d
+
+
+def primary_rays_world(width: int, height: int, view_matrix: jnp.ndarray,
+                       focal: float = 400.0, normalize: bool = False,
+                       dtype=jnp.float32):
+    """World-space primary rays for a camera described by ``view_matrix``
+    (Transformation.cpp:84-90 convention: T(pos)*Rz*Ry*Rx; rigid).
+
+    The reference moves the WORLD into view space every frame — it bakes
+    inverse(viewMatrix) into all geometry and the light
+    (simple_raytracer.cpp:558,778), forcing a full host rebuild + BVH rebuild
+    per frame (SURVEY.md §3.1).  The TPU-native inverse: geometry and its BVH
+    stay static in world space, and the RAYS move —
+    origin = V[:3,3], direction = V[:3,:3] @ (i, j, focal).  For a rigid V
+    the hit parameters t and all shading dot products are identical, so
+    images match the reference bit-for-near-bit while the per-frame cost
+    becomes pure device compute.
+    """
+    o, d = primary_rays(width, height, focal, normalize=False, dtype=dtype)
+    V = jnp.asarray(view_matrix, dtype=dtype)
+    d = jnp.einsum("ij,hwj->hwi", V[:3, :3], d)
+    if normalize:
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(V[:3, 3], d.shape)
+    return o, d

@@ -101,11 +101,13 @@ def _map_ray_chunks(body, o, d, chunk: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _render_jit(cfg: RenderConfig):
-    def f(scene, light_pos):
-        radiance, hit = render_radiance(scene, cfg, light_pos)
+def _render_jit(cfg: RenderConfig, with_view: bool):
+    def f(scene, light_pos, view_matrix):
+        radiance, hit = render_radiance(scene, cfg, light_pos, view_matrix)
         return integrator.finalize_image(radiance, hit, cfg)
-    return jax.jit(f)
+    if with_view:
+        return jax.jit(f)
+    return jax.jit(lambda scene, light_pos: f(scene, light_pos, None))
 
 
 def ensure_prepared(scene, cfg: RenderConfig):
@@ -116,25 +118,39 @@ def ensure_prepared(scene, cfg: RenderConfig):
     return prepare(scene, cfg)
 
 
-def render(scene, cfg: RenderConfig, light_pos) -> jnp.ndarray:
+def render(scene, cfg: RenderConfig, light_pos,
+           view_matrix=None) -> jnp.ndarray:
     """Full-frame render -> [H, W, 3] uint8 (background-filled, quantized).
 
     Jitted and cached per config (RenderConfig is frozen/hashable); repeat
     frames with the same config recompile nothing.  Accepts a Scene or a
     PreparedScene; BVH modes auto-prepare (host-side) when given a raw Scene.
+    With ``view_matrix`` (4x4, Transformation.cpp:84-90 convention) the camera
+    moves in world space and the scene/BVH stays static (see
+    ops/camera.primary_rays_world).
     """
     scene = ensure_prepared(scene, cfg)
-    return _render_jit(cfg)(scene, jnp.asarray(light_pos, dtype=jnp.float32))
+    light = jnp.asarray(light_pos, dtype=jnp.float32)
+    if view_matrix is None:
+        return _render_jit(cfg, False)(scene, light)
+    return _render_jit(cfg, True)(
+        scene, light, jnp.asarray(view_matrix, jnp.float32))
 
 
-def render_radiance(scene, cfg: RenderConfig, light_pos
+def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Float render -> (radiance [H, W, 3] in [0,1], hit [H, W]).
 
     The differentiable output: no quantization, no background fill.
     """
     cam = cfg.camera
-    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
+    if view_matrix is None:
+        o, d = primary_rays(cam.width, cam.height, cam.focal,
+                            cam.normalize_dirs)
+    else:
+        from ..ops.camera import primary_rays_world
+        o, d = primary_rays_world(cam.width, cam.height, view_matrix,
+                                  cam.focal, cam.normalize_dirs)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
     light_pos = jnp.asarray(light_pos, dtype=d.dtype)

@@ -112,14 +112,17 @@ class SceneManager:
             self._order.append(key)
         return key
 
-    def instance(self, src_key: str, new_key: str, copy_properties: bool = True) -> str:
+    def instance(self, src_key: str, new_key: str, copy_properties: bool = True,
+                 copy_color: bool = False) -> str:
         """Object instancing = copying a triangle list under a new key
-        (simple_raytracer.cpp:565,597-600).  The reference never sets objColors
-        for instanced keys (unordered_map default-inserts (0,0,0)); pass
-        ``copy_properties=False`` + set_color to reproduce that if needed."""
+        (simple_raytracer.cpp:564-567, :688-695).  Reference semantics: the
+        scene driver copies objTriangles and objProperties but NEVER objColors
+        — the unordered_map default-inserts black (0,0,0) for the new key
+        unless the driver sets it explicitly afterwards.  Defaults reproduce
+        that; pass ``copy_color=True`` for convenience instancing."""
         src = self.objects[src_key]
         e = _ObjectEntry(src.mesh.copy(),
-                         src.color if copy_properties else (0.0, 0.0, 0.0),
+                         src.color if copy_color else (0.0, 0.0, 0.0),
                          src.ambient if copy_properties else DEFAULT_AMBIENT,
                          src.specular if copy_properties else DEFAULT_SPECULAR,
                          src.shininess if copy_properties else DEFAULT_SHININESS)
