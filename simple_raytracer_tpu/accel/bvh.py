@@ -67,13 +67,28 @@ def _aabb(verts: np.ndarray, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return v.min(axis=0).astype(np.float32), v.max(axis=0).astype(np.float32)
 
 
-def build_bvh(verts_cart: np.ndarray, leaf_size: int = 8) -> FlatBVHHost:
+def build_bvh(verts_cart: np.ndarray, leaf_size: int = 8,
+              use_native: bool = True) -> FlatBVHHost:
     """Build + flatten one object's BVH (see module docstring).
+
+    Uses the C++ builder (native/native.cpp::bvh_build — identical topology,
+    ~20x faster on bunny-class meshes) when available; the Python path below
+    is the fallback and the reference implementation tests compare against.
 
     Args:
       verts_cart: [T, 3, 3] Cartesian triangle vertices.
       leaf_size: reference triangleSizeStop = 8 (Object.cpp:261).
     """
+    if use_native:
+        from ..native import bvh_build_native
+        res = bvh_build_native(np.ascontiguousarray(verts_cart, np.float32),
+                               leaf_size)
+        if res is not None:
+            (node_min, node_max, skip, leaf_first, leaf_count, perm,
+             max_leaf, depth) = res
+            return FlatBVHHost(node_min, node_max, skip, leaf_first,
+                               leaf_count, perm, max_leaf, depth)
+
     T = verts_cart.shape[0]
     mins: List[np.ndarray] = []
     maxs: List[np.ndarray] = []

@@ -141,11 +141,14 @@ def _safe_div(a, b):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _nearest_kernel(block: int, eps: float, counts_ref, F_ref, ids_hbm, G_hbm,
-                    t_ref, idx_ref, ids_smem, gbuf, sem_ids, sem_g):
+def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
+                    ids_hbm, G_hbm, t_ref, idx_ref, ids_smem, gbuf, sem_ids,
+                    sem_g):
     i = pl.program_id(0)
     cnt = counts_ref[i]
 
+    # ids are [n, NBpad//128, 128]: leading-dim slices are tiling-exempt,
+    # so each tile's whole row block DMAs cleanly to SMEM
     cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
     cp.start()
     cp.wait()
@@ -155,8 +158,8 @@ def _nearest_kernel(block: int, eps: float, counts_ref, F_ref, ids_hbm, G_hbm,
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]], gbuf.at[slot],
-                                     sem_g.at[slot])
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
+                                     gbuf.at[slot], sem_g.at[slot])
 
     @pl.when(cnt > 0)
     def _():
@@ -171,8 +174,11 @@ def _nearest_kernel(block: int, eps: float, counts_ref, F_ref, ids_hbm, G_hbm,
             g_dma((k + 1) % 2, k + 1).start()
 
         g_dma(slot, k).wait()
-        quad = jnp.dot(F, gbuf[slot],
-                       preferred_element_type=jnp.float32)   # [TILE_R, 4B]
+        # HIGHEST: the MXU's default single-pass bf16 is far too coarse for
+        # Moller-Trumbore's cancellations (det/u/v/t go through differences
+        # of large products); 3-pass bf16 recovers ~f32 accuracy
+        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [TILE_R, 4B]
         det = quad[:, :B]
         u_num = quad[:, B:2 * B]
         v_num = quad[:, 2 * B:3 * B]
@@ -184,25 +190,27 @@ def _nearest_kernel(block: int, eps: float, counts_ref, F_ref, ids_hbm, G_hbm,
         valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
                 (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
         t = jnp.where(valid, t, jnp.inf)
-        bt = jnp.min(t, axis=1)                              # [TILE_R]
+        # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic cannot
+        # reshape across the sublane/lane boundary
+        bt = jnp.min(t, axis=1, keepdims=True)               # [TILE_R, 1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, B), 1)
-        bj = jnp.min(jnp.where(t == bt[:, None], lane, B), axis=1)
+        bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
         better = bt < best_t
         best_t = jnp.where(better, bt, best_t)
         best_i = jnp.where(better & (bj < B),
-                           ids_smem[k] * B + bj, best_i)
+                           ids_smem[k // 128, k % 128] * B + bj, best_i)
         return best_t, best_i
 
-    init = (jnp.full((TILE_R,), jnp.inf, jnp.float32),
-            jnp.full((TILE_R,), -1, jnp.int32))
+    init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
+            jnp.full((TILE_R, 1), -1, jnp.int32))
     best_t, best_i = jax.lax.fori_loop(0, cnt, body, init)
-    t_ref[0, :] = best_t
-    idx_ref[0, :] = best_i
+    t_ref[0] = best_t
+    idx_ref[0] = best_i
 
 
-def _anyhit_kernel(block: int, eps: float, counts_ref, F_ref, self_ref,
-                   ids_hbm, G_hbm, obj_hbm, hit_ref, ids_smem, gbuf, obuf,
-                   sem_ids, sem_g, sem_o):
+def _anyhit_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
+                   self_ref, ids_hbm, G_hbm, obj_hbm, hit_ref, ids_smem, gbuf,
+                   obuf, sem_ids, sem_g, sem_o):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
@@ -213,17 +221,17 @@ def _anyhit_kernel(block: int, eps: float, counts_ref, F_ref, self_ref,
     cp.wait()
 
     F = F_ref[0]
-    self_obj = self_ref[0]                               # [TILE_R] f32
     TILE_R = F.shape[0]
+    self_obj = self_ref[0]                               # [TILE_R, 1] f32
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]], gbuf.at[slot],
-                                     sem_g.at[slot])
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
+                                     gbuf.at[slot], sem_g.at[slot])
 
     def o_dma(slot, k):
-        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k]], obuf.at[slot],
-                                     sem_o.at[slot])
+        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k // 128, k % 128]],
+                                     obuf.at[slot], sem_o.at[slot])
 
     @pl.when(cnt > 0)
     def _():
@@ -240,7 +248,8 @@ def _anyhit_kernel(block: int, eps: float, counts_ref, F_ref, self_ref,
 
         g_dma(slot, k).wait()
         o_dma(slot, k).wait()
-        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32)
+        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         det = quad[:, :B]
         u_num = quad[:, B:2 * B]
         v_num = quad[:, 2 * B:3 * B]
@@ -251,12 +260,15 @@ def _anyhit_kernel(block: int, eps: float, counts_ref, F_ref, self_ref,
         t = t_num * inv
         valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
                 (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-        other = obuf[slot] != self_obj[:, None]          # [TILE_R, B]
-        return found | jnp.any(valid & other, axis=1)
+        other = obuf[slot][None, :] != self_obj          # [TILE_R, B]
+        occ = jnp.max(jnp.where(valid & other, 1.0, 0.0), axis=1,
+                      keepdims=True)
+        # carry f32, not bool: Mosaic cannot legalize i1 loop carries
+        return jnp.maximum(found, occ)
 
-    init = jnp.zeros((TILE_R,), jnp.bool_)
+    init = jnp.zeros((TILE_R, 1), jnp.float32)
     found = jax.lax.fori_loop(0, cnt, body, init)
-    hit_ref[0, :] = found
+    hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -268,37 +280,41 @@ def tiled_nearest(F, ids, counts, Gt, tile: int, block: int, eps: float):
     """F [n,tile,F_DIM], ids [n,NB] i32, counts [n] i32, Gt [NB,F_DIM,4B]
     -> (t [n,tile], idx [n,tile])."""
     n, NB = ids.shape
+    NBpad = max(128, -(-NB // 128) * 128)   # lane-aligned ids rows for DMA
+    if NBpad != NB:
+        ids = jnp.pad(ids, ((0, 0), (0, NBpad - NB)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # ids (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),     # Gt  (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # ids
+            pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NB,), jnp.int32),
+            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_nearest_kernel, block, eps),
+    t, idx = pl.pallas_call(
+        functools.partial(_nearest_kernel, block, eps, NBpad),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, tile), jnp.float32),
-            jax.ShapeDtypeStruct((n, tile), jnp.int32),
+            jax.ShapeDtypeStruct((n, tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, tile, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(counts, F, ids, Gt)
+    )(counts, F, ids.reshape(n, NBpad // 128, 128), Gt)
+    return t.reshape(n, tile), idx.reshape(n, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
@@ -307,24 +323,27 @@ def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
     """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
     -> found [n, tile] bool."""
     n, NB = ids.shape
+    NBpad = max(128, -(-NB // 128) * 128)
+    if NBpad != NB:
+        ids = jnp.pad(ids, ((0, 0), (0, NBpad - NB)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # ids
-            pl.BlockSpec(memory_space=pl.ANY),     # Gt
-            pl.BlockSpec(memory_space=pl.ANY),     # obj blocks
+            pl.BlockSpec(memory_space=pltpu.HBM),   # ids
+            pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+            pl.BlockSpec(memory_space=pltpu.HBM),   # obj blocks
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NB,), jnp.int32),
+            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
             pltpu.VMEM((2, block), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -333,12 +352,13 @@ def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
         ],
     )
     (found,) = pl.pallas_call(
-        functools.partial(_anyhit_kernel, block, eps),
+        functools.partial(_anyhit_kernel, block, eps, NBpad),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, tile), jnp.bool_)],
+        out_shape=[jax.ShapeDtypeStruct((n, tile, 1), jnp.int32)],
         interpret=_interpret(),
-    )(counts, F, self_obj, ids, Gt, obj_blocks)
-    return found
+    )(counts, F, self_obj.reshape(n, tile, 1),
+      ids.reshape(n, NBpad // 128, 128), Gt, obj_blocks)
+    return found.reshape(n, tile) != 0
 
 
 # ---------------------------------------------------------------------------

@@ -138,31 +138,33 @@ class TextureRegistry:
         return self.data.get(texname)
 
 
-def load_obj(path: str, textures: Optional[TextureRegistry] = None,
-             root: Optional[str] = None) -> MeshData:
-    """Load an OBJ file into SoA arrays with reference-equivalent semantics
-    (Object.cpp:25-170).  Missing file => empty mesh + stderr message."""
-    if root is None:
-        root = os.path.dirname(path) or "."
-    if textures is None:
-        textures = TextureRegistry(root=root)
-    obj_dir = os.path.dirname(path) or "."
+def _scan_mtllibs(path: str, obj_dir: str) -> Dict[str, Dict[str, str]]:
+    """Collect materials from every mtllib line (cheap single pass)."""
+    materials: Dict[str, Dict[str, str]] = {}
+    try:
+        with open(path, "r", errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("mtllib"):
+                    mtl_path = os.path.join(obj_dir,
+                                            line.split(None, 1)[1].strip())
+                    materials.update(_parse_mtl(mtl_path))
+    except OSError:
+        pass
+    return materials
 
+
+def _parse_obj_python(path: str):
+    """Pure-Python OBJ core parse; same output contract as
+    native.api.obj_parse_native."""
     positions: List[Tuple[float, float, float]] = []
     texcoords: List[Tuple[float, float]] = []
     normals: List[Tuple[float, float, float]] = []
-    # faces as (vertex idx triplets, material name) after fan triangulation
-    faces: List[Tuple[Tuple[Tuple[int, int, int], ...], Optional[str]]] = []
-    materials: Dict[str, Dict[str, str]] = {}
-    cur_mtl: Optional[str] = None
-
-    try:
-        f = open(path, "r", errors="replace")
-    except OSError as e:
-        print(f"ObjReader: Cannot open file [{path}]: {e}", file=sys.stderr)
-        return _empty_mesh()
-
-    with f:
+    faces: List[Tuple[int, ...]] = []
+    face_mtl: List[int] = []
+    usemtl: List[str] = []
+    cur_mtl = -1
+    with open(path, "r", errors="replace") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
@@ -172,7 +174,8 @@ def load_obj(path: str, textures: Optional[TextureRegistry] = None,
             if tag == "v":
                 positions.append((float(toks[1]), float(toks[2]), float(toks[3])))
             elif tag == "vt":
-                texcoords.append((float(toks[1]), float(toks[2]) if len(toks) > 2 else 0.0))
+                texcoords.append((float(toks[1]),
+                                  float(toks[2]) if len(toks) > 2 else 0.0))
             elif tag == "vn":
                 normals.append((float(toks[1]), float(toks[2]), float(toks[3])))
             elif tag == "f":
@@ -181,12 +184,47 @@ def load_obj(path: str, textures: Optional[TextureRegistry] = None,
                 # fan triangulation (tinyobjloader triangulates by default;
                 # for the convex quads in these assets a fan is equivalent)
                 for k in range(1, len(idxs) - 1):
-                    faces.append(((idxs[0], idxs[k], idxs[k + 1]), cur_mtl))
-            elif tag == "usemtl":
-                cur_mtl = toks[1] if len(toks) > 1 else None
-            elif tag == "mtllib":
-                mtl_path = os.path.join(obj_dir, line.split(None, 1)[1].strip())
-                materials.update(_parse_mtl(mtl_path))
+                    faces.append(idxs[0] + idxs[k] + idxs[k + 1])
+                    face_mtl.append(cur_mtl)
+            elif tag == "usemtl" and len(toks) > 1:
+                usemtl.append(toks[1])
+                cur_mtl = len(usemtl) - 1
+
+    def arr(a, shape, dtype=np.float32):
+        return np.asarray(a, dtype) if a else np.zeros(shape, dtype)
+
+    return (arr(positions, (0, 3)), arr(texcoords, (0, 2)),
+            arr(normals, (0, 3)),
+            arr(faces, (0, 9), np.int32).reshape(-1, 3, 3),
+            arr(face_mtl, (0,), np.int32), usemtl)
+
+
+def load_obj(path: str, textures: Optional[TextureRegistry] = None,
+             root: Optional[str] = None) -> MeshData:
+    """Load an OBJ file into SoA arrays with reference-equivalent semantics
+    (Object.cpp:25-170).  Missing file => empty mesh + stderr message.
+
+    The line scan runs in the native C++ parser when available
+    (native/native.cpp::obj_parse); assembly is vectorized numpy either way.
+    """
+    if root is None:
+        root = os.path.dirname(path) or "."
+    if textures is None:
+        textures = TextureRegistry(root=root)
+    obj_dir = os.path.dirname(path) or "."
+
+    if not os.path.isfile(path):
+        print(f"ObjReader: Cannot open file [{path}]", file=sys.stderr)
+        return _empty_mesh()
+
+    parsed = None
+    if not os.environ.get("SRT_NO_NATIVE"):
+        from ..native import obj_parse_native
+        parsed = obj_parse_native(path)
+    if parsed is None:
+        parsed = _parse_obj_python(path)
+    pos_a, uv_a, nrm_a, faces, face_mtl, usemtl = parsed
+    materials = _scan_mtllibs(path, obj_dir)
 
     # Pre-load diffuse textures (Object.cpp:52-68)
     tex_names: List[str] = []
@@ -198,39 +236,50 @@ def load_obj(path: str, textures: Optional[TextureRegistry] = None,
                 tex_ids[texname] = len(tex_names)
                 tex_names.append(texname)
 
-    T = len(faces)
+    T = int(faces.shape[0])
     verts = np.zeros((T, 3, 4), dtype=np.float32)
     verts[..., 3] = 1.0
     vnorm = np.zeros((T, 3, 3), dtype=np.float32)
     uvs = np.zeros((T, 3, 2), dtype=np.float32)
     tri_color = np.ones((T, 3), dtype=np.float32)   # default white (Object.cpp:84)
     tri_tex = np.full((T,), -1, dtype=np.int32)
+    if T == 0:
+        return MeshData(verts, vnorm, uvs, tri_color, tri_tex, tex_names)
 
-    pos_a = np.asarray(positions, dtype=np.float32) if positions else np.zeros((0, 3), np.float32)
-    uv_a = np.asarray(texcoords, dtype=np.float32) if texcoords else np.zeros((0, 2), np.float32)
-    nrm_a = np.asarray(normals, dtype=np.float32) if normals else np.zeros((0, 3), np.float32)
+    vi = faces[:, :, 0]                               # [T, 3]
+    verts[..., :3] = pos_a[vi]
+    ni = faces[:, :, 2]
+    has_n = ni >= 0
+    if nrm_a.shape[0]:
+        vnorm = np.where(has_n[..., None], nrm_a[np.maximum(ni, 0)], 0.0)
+    vnorm = vnorm.astype(np.float32)
 
-    for t, (tri, mname) in enumerate(faces):
-        props = materials.get(mname or "", {})
-        texname = props.get("map_Kd", "")
-        img = textures.get(texname) if texname else None
-        for v, (vi, ti, ni) in enumerate(tri):
-            verts[t, v, :3] = pos_a[vi]
-            if ni >= 0:
-                vnorm[t, v] = nrm_a[ni]
-            if ti >= 0 and img is not None:
-                th, tw = img.shape[0], img.shape[1]
-                tx, ty = float(uv_a[ti, 0]), float(uv_a[ti, 1])
-                # UV bake: floor + positive modulo + V flip (Object.cpp:113-119)
-                u = int(np.floor(tx * tw)) % tw
-                vv = int(np.floor((1.0 - ty) * th)) % th
-                u = (u + tw) % tw
-                vv = (vv + th) % th
-                uvs[t, v] = (u, vv)
-                if v == 0:
-                    # per-triangle color sampled at vertex 0 (Object.cpp:121-125,:147)
-                    tri_color[t] = img[vv, u].astype(np.float32) / 255.0
-                    tri_tex[t] = tex_ids[texname]
+    # per-face texture: usemtl occurrence -> material -> map_Kd
+    occ_tex = np.full((max(len(usemtl), 1),), -1, np.int32)
+    for k, mname in enumerate(usemtl):
+        texname = materials.get(mname, {}).get("map_Kd", "")
+        occ_tex[k] = tex_ids.get(texname, -1) if texname else -1
+    face_tex = np.where(face_mtl >= 0, occ_tex[np.maximum(face_mtl, 0)], -1)
+
+    ti = faces[:, :, 1]
+    for gid, texname in enumerate(tex_names):
+        img = textures.get(texname)
+        th, tw = img.shape[0], img.shape[1]
+        fmask = face_tex == gid                       # [T]
+        cmask = fmask[:, None] & (ti >= 0)            # [T, 3]
+        if not cmask.any():
+            continue
+        tx = uv_a[np.maximum(ti, 0), 0]
+        ty = uv_a[np.maximum(ti, 0), 1]
+        # UV bake: floor + positive modulo + V flip (Object.cpp:113-119)
+        u = np.floor(tx * tw).astype(np.int64) % tw
+        vv = np.floor((1.0 - ty) * th).astype(np.int64) % th
+        uvs[..., 0] = np.where(cmask, u, uvs[..., 0])
+        uvs[..., 1] = np.where(cmask, vv, uvs[..., 1])
+        # per-triangle color sampled at vertex 0 (Object.cpp:121-125, :147)
+        v0 = cmask[:, 0]
+        tri_color[v0] = img[vv[v0, 0], u[v0, 0]].astype(np.float32) / 255.0
+        tri_tex[v0] = gid
     return MeshData(verts, vnorm, uvs, tri_color, tri_tex, tex_names)
 
 
