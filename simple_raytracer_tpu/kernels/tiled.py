@@ -40,6 +40,11 @@ from ..render import integrator
 F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
 NEG_BIG = -3.0e38
 
+# Debug escape hatch: SRT_TILED_SYNC=1 disables the double-buffered DMA
+# overlap (each block fetch completes before compute starts).
+import os as _os
+_SYNC_DMA = bool(_os.environ.get("SRT_TILED_SYNC"))
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -164,17 +169,21 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
         return pltpu.make_async_copy(G_hbm.at[ids_smem[k]],
                                      gbuf.at[slot], sem_g.at[slot])
 
-    @pl.when(cnt > 0)
-    def _():
-        g_dma(0, 0).start()
+    if not _SYNC_DMA:
+        @pl.when(cnt > 0)
+        def _():
+            g_dma(0, 0).start()
 
     def body(k, carry):
         best_t, best_i = carry
-        slot = k % 2
+        slot = k % 2 if not _SYNC_DMA else 0
 
-        @pl.when(k + 1 < cnt)
-        def _():
-            g_dma((k + 1) % 2, k + 1).start()
+        if _SYNC_DMA:
+            g_dma(0, k).start()
+        else:
+            @pl.when(k + 1 < cnt)
+            def _():
+                g_dma((k + 1) % 2, k + 1).start()
 
         g_dma(slot, k).wait()
         # HIGHEST: the MXU's default single-pass bf16 is far too coarse for

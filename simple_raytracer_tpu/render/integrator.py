@@ -90,15 +90,27 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     light_color = jnp.asarray(lcfg.color, dtype=point.dtype)
 
     samples = light_sample_positions(light_pos, lcfg.num_samples, lcfg.jitter_step)
+    S = lcfg.num_samples
+    R = point.shape[0]
+
+    shadowed_all = None
+    if shadow_fn is not None and lcfg.enable_shadows:
+        # ONE batched occlusion query for all S light samples (S separate
+        # launches would re-cull and re-walk the scene per sample)
+        pts = jnp.broadcast_to(point[None], (S, R, 3)).reshape(S * R, 3)
+        lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
+        objs = jnp.broadcast_to(obj[None], (S, R)).reshape(S * R)
+        shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)
+
     accum = jnp.zeros_like(point)
-    for s in range(lcfg.num_samples):
+    for s in range(S):
         lpos = jnp.broadcast_to(samples[s], point.shape)
         c = sh.phong(normal, point, direction, lpos, light_color, color_in,
                      ambient, specular, shininess,
                      double_sided=scfg.double_sided_diffuse)
-        if shadow_fn is not None and lcfg.enable_shadows:
-            shadowed = shadow_fn(point, lpos, obj)
-            c = jnp.where(shadowed[..., None], c / lcfg.shadow_dim, c)  # :369
+        if shadowed_all is not None:
+            c = jnp.where(shadowed_all[s][..., None], c / lcfg.shadow_dim,
+                          c)                                          # :369
         accum = accum + c
 
     if scfg.tonemap_enabled:
