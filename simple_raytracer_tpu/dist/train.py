@@ -69,12 +69,16 @@ def apply_params(scene, p: DiffParams):
 
 
 def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
-                    axis: str = "dp", lr: float = 1e-3):
+                    axis: str = "dp", lr: float = 1e-3,
+                    remat: bool = False):
     """Build a jitted SGD step fitting DiffParams to a target radiance image.
 
     Returns step(params, target [H,W,3]) -> (params, loss).  With a mesh, the
     flat ray axis is sharded via shard_map (scene replicated per device); the
-    gradient all-reduce over the mesh axis is inserted by AD.
+    gradient all-reduce over the mesh axis is inserted by AD.  ``remat``
+    rematerializes the forward render in the backward pass (jax.checkpoint),
+    trading FLOPs for the O(rays x triangles) intersection activations —
+    needed when ray batches outgrow HBM.
     """
     scene = jax.device_put(scene)   # numpy-backed scenes: tracer-safe gathers
     cam = cfg.camera
@@ -87,7 +91,10 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
 
     def local_loss(params: DiffParams, oo, dd, tt):
         s, light = apply_params(scene, params)
-        radiance, hit = render_flat(s, cfg, oo, dd, light)
+        fwd = lambda s, oo, dd, light: render_flat(s, cfg, oo, dd, light)
+        if remat:
+            fwd = jax.checkpoint(fwd, static_argnums=())
+        radiance, hit = fwd(s, oo, dd, light)
         pred = jnp.where(hit[:, None], radiance, 0.0)
         return jnp.sum((pred - tt) ** 2)
 
