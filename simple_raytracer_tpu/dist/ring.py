@@ -29,11 +29,20 @@ from ..render import integrator
 from ..utils import match_vma
 
 
-def _local_nearest(verts_local, o, d, eps):
-    """Brute-force nearest hit of rays [R,3] against the LOCAL triangle shard.
-    Returns (t [R], local_idx [R])."""
-    ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
-                               verts_local[None, :, :, :], eps)   # [R, Tl]
+def _local_nearest(verts_local, o, d, eps, G_local=None):
+    """Nearest hit of rays [R,3] against the LOCAL triangle shard.
+
+    With ``G_local`` (precomputed Gram factors, [Tl,10,4]) the whole
+    R x Tl Möller–Trumbore runs as ONE MXU contraction
+    (ops/intersect.py:moller_trumbore_gram) — the per-step compute of the
+    ring schedule rides the systolic array.  Returns (t [R], local_idx [R]).
+    """
+    if G_local is not None:
+        F = isect.ray_features(o, d)                              # [R, 10]
+        ts = isect.moller_trumbore_gram(F, G_local, eps)          # [R, Tl]
+    else:
+        ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
+                                   verts_local[None, :, :, :], eps)
     idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
     t = jnp.take_along_axis(ts, idx[:, None], axis=-1)[:, 0]
     return t, idx
@@ -66,10 +75,13 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
     n = lax.axis_size(axis)
     R = o.shape[0]
     perm = [(i, (i + 1) % n) for i in range(n)]
+    # Gram factors of the resident shard: computed ONCE, reused for all n
+    # rotating ray blocks
+    G_local = isect.pack_mt_gram(shard["verts_cart"])
 
     def step(carry, _):
         o, d, best_t, rec = carry
-        t, li = _local_nearest(shard["verts_cart"], o, d, eps)
+        t, li = _local_nearest(shard["verts_cart"], o, d, eps, G_local)
         better = t < best_t
         bv = better[:, None, None]
         rec = {
@@ -131,6 +143,62 @@ def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
     radiance = integrator.shade_records(scene, cfg, rec, o, d, t, light_pos,
                                         shadow_fn)
     return radiance, jnp.isfinite(t)
+
+
+def strip_scene_tables(scene):
+    """Scene with only the small replicated tables (materials + texture
+    atlas); triangle arrays emptied so geometry-sharded renders don't
+    replicate the big arrays."""
+    import numpy as np
+    return scene.replace(
+        verts=np.zeros((0, 3, 4), np.float32),
+        vnormals=np.zeros((0, 3, 3), np.float32),
+        uvs=np.zeros((0, 3, 2), np.float32),
+        tri_color=np.zeros((0, 3), np.float32),
+        tri_tex=np.zeros((0,), np.int32),
+        tri_obj=np.zeros((0,), np.int32))
+
+
+def render_geometry_sharded(scene, cfg: RenderConfig, light_pos, mesh,
+                            axis: str = "gp"):
+    """Full-frame render with the TRIANGLE axis sharded over ``mesh[axis]``
+    and ray blocks ring-rotating (the scene-too-big-to-replicate mode).
+
+    Returns [H, W, 3] uint8.  Each device holds 1/n of the triangles; the
+    small material/texture tables are replicated.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from ..ops.camera import primary_rays
+    from ..render import integrator
+
+    n = mesh.shape[axis]
+    cam = cfg.camera
+    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    R = o.shape[0]
+    pad = (-R) % n
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    shard = shard_geometry(scene, n)
+    tables = strip_scene_tables(scene)
+
+    def body(tables, shard, o, d, light):
+        shard = jax.tree.map(lambda a: a[0], shard)   # drop device axis
+        return render_flat_ring(tables, shard, cfg, o, d, light, axis=axis)
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis))))
+    radiance, hit = f(tables, shard, o, d,
+                      jnp.asarray(light_pos, jnp.float32))
+    radiance, hit = radiance[:R], hit[:R]
+    H, W = cam.height, cam.width
+    img = integrator.finalize_image(radiance.reshape(H, W, 3),
+                                    hit.reshape(H, W), cfg)
+    return img
 
 
 def shard_geometry(scene, n: int):

@@ -116,3 +116,16 @@ def test_train_step_sharded_matches_unsharded_and_descends():
         p, l = step_sh(p, target)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_render_geometry_sharded_api_matches_single():
+    scene = _cube_scene()
+    cfg = default_config().replace(
+        camera=default_config().camera.__class__(width=64, height=32))
+    light = jnp.array([100.0, -100.0, -50.0])
+    ref = np.asarray(render(scene, cfg, light))
+    mesh = make_mesh(8, ("gp",))
+    from simple_raytracer_tpu.dist.ring import render_geometry_sharded
+    img = np.asarray(render_geometry_sharded(scene, cfg, light, mesh))
+    same = (ref == img).all(axis=-1)
+    assert same.mean() > 0.995, same.mean()
