@@ -152,21 +152,20 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
     i = pl.program_id(0)
     cnt = counts_ref[i]
 
-    # ids are [n, NBpad//128, 128] in HBM (leading-dim slices are
-    # tiling-exempt); SMEM side is 1D so block-id reads are plain scalar
-    # loads.  One 128-wide DMA per row chunk.
-    for j in range(nbpad // 128):
-        cp = pltpu.make_async_copy(ids_hbm.at[i, j],
-                                   ids_smem.at[pl.ds(j * 128, 128)], sem_ids)
-        cp.start()
-        cp.wait()
+    # ids are [n, NBpad//128, 128] in HBM; the leading-dim slice .at[i] is
+    # tiling-exempt and shape-matches the SMEM buffer, so one whole-buffer
+    # DMA brings the tile's block list in.  (1D SMEM buffers get a (512)
+    # tile that partial slices cannot honor; 2D keeps everything aligned.)
+    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
+    cp.start()
+    cp.wait()
 
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]],
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
                                      gbuf.at[slot], sem_g.at[slot])
 
     if not _SYNC_DMA:
@@ -210,7 +209,7 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
         better = bt < best_t
         best_t = jnp.where(better, bt, best_t)
         best_i = jnp.where(better & (bj < B),
-                           ids_smem[k] * B + bj, best_i)
+                           ids_smem[k // 128, k % 128] * B + bj, best_i)
         return best_t, best_i
 
     init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
@@ -228,11 +227,9 @@ def _anyhit_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
     i = pl.program_id(0)
     cnt = counts_ref[i]
 
-    for j in range(nbpad // 128):
-        cp = pltpu.make_async_copy(ids_hbm.at[i, j],
-                                   ids_smem.at[pl.ds(j * 128, 128)], sem_ids)
-        cp.start()
-        cp.wait()
+    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
+    cp.start()
+    cp.wait()
 
     F = F_ref[0]
     TILE_R = F.shape[0]
@@ -240,11 +237,11 @@ def _anyhit_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k]],
+        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
                                      gbuf.at[slot], sem_g.at[slot])
 
     def o_dma(slot, k):
-        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k]],
+        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k // 128, k % 128]],
                                      obuf.at[slot], sem_o.at[slot])
 
     @pl.when(cnt > 0)
@@ -313,7 +310,7 @@ def tiled_nearest(F, ids, counts, Gt, tile: int, block: int, eps: float):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NBpad,), jnp.int32),
+            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -357,7 +354,7 @@ def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NBpad,), jnp.int32),
+            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
             pltpu.VMEM((2, block), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
