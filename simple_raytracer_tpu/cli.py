@@ -84,6 +84,11 @@ def cmd_render(args) -> int:
            rays_per_s=round(args.width * args.height / dt, 1))
     save_image(args.out, img)
     m.emit(event="saved", path=args.out)
+    if args.show:
+        # the reference pops a blocking CImg window per frame
+        # (simple_raytracer.cpp:495-497); PIL's viewer is the analog
+        from PIL import Image
+        Image.fromarray(img).show(title=f"{args.scene} @ {args.angle}")
     return 0
 
 
@@ -159,6 +164,8 @@ def main(argv=None) -> int:
     _add_render_flags(pr)
     pr.add_argument("--angle", type=float, default=0.0)
     pr.add_argument("--out", default="output.png")
+    pr.add_argument("--show", action="store_true",
+                    help="open a viewer window (reference :495-497)")
     pr.set_defaults(fn=cmd_render)
 
     pa = sub.add_parser("animate", help="turntable sweep (reference main())")
