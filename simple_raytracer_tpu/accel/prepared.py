@@ -33,6 +33,8 @@ class PreparedScene:
     leaf_count: jnp.ndarray   # [M]
     block_min: jnp.ndarray    # [NB, 3]
     block_max: jnp.ndarray    # [NB, 3]
+    gram: jnp.ndarray         # [NB, 16, 4*block] — packed MT factors (tiled path)
+    obj_blocks: jnp.ndarray   # [NB, block] f32 — per-tri object ids (shadows)
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
@@ -42,7 +44,7 @@ class PreparedScene:
     block_size: int = dataclasses.field(default=128)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
-            "leaf_count", "block_min", "block_max")
+            "leaf_count", "block_min", "block_max", "gram", "obj_blocks")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size")
 
@@ -116,6 +118,15 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     vc = padded.verts[..., :3] / padded.verts[..., 3:4]
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
+    # precompute the tiled path's packed MT Gram blocks + per-block object
+    # ids here (host numpy) so per-frame renders skip the packing entirely
+    from ..ops.intersect import pack_mt_gram_np
+    G = pack_mt_gram_np(vc)                             # [Tp, 10, 4]
+    Gt = G.reshape(nb, bs, 10, 4).transpose(0, 2, 3, 1).reshape(nb, 10, 4 * bs)
+    gram = np.zeros((nb, 16, 4 * bs), np.float32)
+    gram[:, :10] = Gt
+    obj_blocks = padded.tri_obj.astype(np.float32).reshape(nb, bs)
+
     ps = PreparedScene(
         scene=padded,
         node_min=flat.node_min,
@@ -125,6 +136,8 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         leaf_count=flat.leaf_count,
         block_min=bmin,
         block_max=bmax,
+        gram=gram,
+        obj_blocks=obj_blocks,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),
         num_triangles=int(T),

@@ -378,9 +378,8 @@ def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
 
 def tiled_hits(prep, origin, direction, tile: int, eps: float):
     """Nearest hit over flat rays via the tiled kernel.  Returns (t, idx)."""
-    verts_cart = prep.scene.verts_cart()
     block = prep.block_size
-    Gt = pack_gram_blocks(verts_cart, block)
+    Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
     ids, counts = cull_blocks(origin, direction, tile,
                               prep.block_min, prep.block_max)
@@ -389,10 +388,9 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float):
 
 
 def tiled_shadow_fn(prep, tile: int, eps: float):
-    verts_cart = prep.scene.verts_cart()
     block = prep.block_size
-    Gt = pack_gram_blocks(verts_cart, block)
-    obj_blocks = prep.scene.tri_obj.astype(jnp.float32).reshape(-1, block)
+    Gt = prep.gram
+    obj_blocks = prep.obj_blocks
 
     def shadow(point, light, self_obj):
         d = light - point

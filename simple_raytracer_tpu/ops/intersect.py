@@ -89,6 +89,30 @@ def pack_mt_gram(verts_cart: jnp.ndarray) -> jnp.ndarray:
     return G
 
 
+def pack_mt_gram_np(verts_cart) -> "np.ndarray":
+    """Numpy twin of :func:`pack_mt_gram` for host-side precomputation
+    (accel/prepared.py caches the packed blocks at prepare time)."""
+    import numpy as np
+    v = np.asarray(verts_cart, np.float32)
+    p1 = v[..., 0, :]
+    e1 = v[..., 1, :] - p1
+    e2 = v[..., 2, :] - p1
+    n = np.cross(e2, e1)
+    e2xp1 = np.cross(e2, p1)
+    p1xe1 = np.cross(p1, e1)
+    c_t = -np.sum(e2 * p1xe1, axis=-1)
+    T = v.shape[0]
+    G = np.zeros((T, 10, 4), np.float32)
+    G[:, 0:3, 0] = n
+    G[:, 0:3, 1] = -e2xp1
+    G[:, 3:6, 1] = e2
+    G[:, 0:3, 2] = -p1xe1
+    G[:, 3:6, 2] = -e1
+    G[:, 6:9, 3] = -n
+    G[:, 9, 3] = c_t
+    return G
+
+
 def ray_features(origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Ray feature vector [..., 10] = [d, o×d, o, 1] for the Gram formulation."""
     one = jnp.ones(origin.shape[:-1] + (1,), dtype=direction.dtype)
