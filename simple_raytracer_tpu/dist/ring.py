@@ -201,6 +201,48 @@ def render_geometry_sharded(scene, cfg: RenderConfig, light_pos, mesh,
     return img
 
 
+def render_composed(scene, cfg: RenderConfig, light_pos, mesh,
+                    dp_axis: str = "dp", gp_axis: str = "gp"):
+    """Full-frame render over a 2D mesh: rays sharded over BOTH axes, the
+    triangle axis sharded over ``gp_axis`` (replicated over ``dp_axis``).
+    Every device owns a home ray block and ring-rotates it around its gp
+    ring; dp rows work on disjoint ray sets in parallel.  Returns
+    [H, W, 3] uint8.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from ..ops.camera import primary_rays
+    from ..render import integrator
+
+    n_dp, n_gp = mesh.shape[dp_axis], mesh.shape[gp_axis]
+    cam = cfg.camera
+    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    R = o.shape[0]
+    pad = (-R) % (n_dp * n_gp)
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    shard = shard_geometry(scene, n_gp)
+    tables = strip_scene_tables(scene)
+
+    def body(tables, shard, o, d, light):
+        shard = jax.tree.map(lambda a: a[0], shard)
+        return render_flat_ring(tables, shard, cfg, o, d, light, axis=gp_axis)
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(gp_axis), P((dp_axis, gp_axis)),
+                  P((dp_axis, gp_axis)), P()),
+        out_specs=(P((dp_axis, gp_axis)), P((dp_axis, gp_axis)))))
+    radiance, hit = f(tables, shard, o, d,
+                      jnp.asarray(light_pos, jnp.float32))
+    radiance, hit = radiance[:R], hit[:R]
+    H, W = cam.height, cam.width
+    return integrator.finalize_image(radiance.reshape(H, W, 3),
+                                     hit.reshape(H, W), cfg)
+
+
 def shard_geometry(scene, n: int):
     """HOST helper: split the scene's triangle arrays into ``n`` equal shards
     (padded with degenerate triangles that never hit).  Returns arrays with a

@@ -129,3 +129,16 @@ def test_render_geometry_sharded_api_matches_single():
     img = np.asarray(render_geometry_sharded(scene, cfg, light, mesh))
     same = (ref == img).all(axis=-1)
     assert same.mean() > 0.995, same.mean()
+
+
+def test_render_composed_dp_gp_matches_single():
+    scene = _cube_scene()
+    cfg = default_config().replace(
+        camera=default_config().camera.__class__(width=64, height=32))
+    light = jnp.array([100.0, -100.0, -50.0])
+    ref = np.asarray(render(scene, cfg, light))
+    mesh = make_mesh(8, ("dp", "gp"), shape=(4, 2))
+    from simple_raytracer_tpu.dist.ring import render_composed
+    img = np.asarray(render_composed(scene, cfg, light, mesh))
+    same = (ref == img).all(axis=-1)
+    assert same.mean() > 0.995, same.mean()
