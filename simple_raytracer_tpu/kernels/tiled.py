@@ -1,6 +1,6 @@
 """Tiled Pallas renderer: MXU Möller–Trumbore over culled triangle blocks.
 
-The TPU performance path.  Design (SURVEY.md §7):
+The TPU performance path.  Design (SURVEY.md §7, DESIGN.md):
 
 * **MT on the MXU.**  All four Möller–Trumbore scalars for a (ray, triangle)
   pair are one contraction of ray features F[r,:] = [d, o×d, o, 1] with a
@@ -9,15 +9,19 @@ The TPU performance path.  Design (SURVEY.md §7):
   [TILE_R,16] @ [16,4B] matmul — the hot loop lives on the systolic array
   instead of the VPU, replacing the reference's scalar kernel
   (simple_raytracer.cpp:42-75).
-* **Block culling instead of per-ray BVH walks.**  Per-ray pointer chasing
+* **Range culling instead of per-ray BVH walks.**  Per-ray pointer chasing
   (simple_raytracer.cpp:296-317) is hostile to a lockstep SIMD machine.
   Triangles are BVH-reordered so consecutive triangles are spatially coherent
-  (accel/bvh.py:triangle_blocks), and each RAY TILE culls whole blocks with a
-  conservative interval slab test (tile ray bounds × block AABB) — computed
-  as one dense jnp op, giving a compacted per-tile block list.
-* **Double-buffered DMA.**  Inside the kernel, each tile walks its block list
+  (accel/bvh.py:triangle_blocks); each RAY TILE culls blocks with a
+  conservative interval slab test (tile ray bounds × block AABB) and visits
+  the CONTIGUOUS block range [lo, lo+cnt) covering the survivors.  Two
+  scalars per tile ride in via scalar prefetch — no block-id tables, no
+  HBM→SMEM DMA (manual SMEM DMA + dynamic 2D SMEM reads proved fragile under
+  Mosaic; ranges cost a few extra blocks in gaps but BVH preorder keeps the
+  visible set clustered).
+* **Double-buffered DMA.**  Inside the kernel, each tile walks its range
   with `pltpu.make_async_copy` HBM→VMEM, overlapping the next block's fetch
-  with the current matmul.
+  with the current matmul.  SRT_TILED_SYNC=1 disables the overlap (debug).
 * Misses return t=+inf / idx=-1, matching ops/intersect.py conventions.
 
 Falls back to interpret mode off-TPU so the same code is CPU-testable.
@@ -26,6 +30,7 @@ Falls back to interpret mode off-TPU so the same code is CPU-testable.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -38,11 +43,9 @@ from ..ops import intersect as isect
 from ..render import integrator
 
 F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
-NEG_BIG = -3.0e38
 
 # Debug escape hatch: SRT_TILED_SYNC=1 disables the double-buffered DMA
 # overlap (each block fetch completes before compute starts).
-import os as _os
 _SYNC_DMA = bool(_os.environ.get("SRT_TILED_SYNC"))
 
 
@@ -56,7 +59,8 @@ def _interpret() -> bool:
 
 def pack_gram_blocks(verts_cart: jnp.ndarray, block: int) -> jnp.ndarray:
     """[T,3,3] (T a multiple of ``block``) -> Gt [NB, F_DIM, 4*block] with
-    column groups det | u_num | v_num | t_num, each ``block`` wide."""
+    column groups det | u_num | v_num | t_num, each ``block`` wide.
+    (accel/prepared.py precomputes this on host; kept for ad-hoc use.)"""
     G = isect.pack_mt_gram(verts_cart)                  # [T, 10, 4]
     T = G.shape[0]
     NB = T // block
@@ -83,7 +87,7 @@ def ray_tile_features(o: jnp.ndarray, d: jnp.ndarray, tile: int):
 
 def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                 block_min: jnp.ndarray, block_max: jnp.ndarray):
-    """Conservative per-(ray tile, triangle block) visibility.
+    """Conservative per-(ray tile, triangle block) visibility -> block RANGE.
 
     Interval-arithmetic slab test: each tile is abstracted by the AABBs of its
     ray origins and directions; a block can be skipped only if NO ray with
@@ -92,8 +96,8 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     direction interval spans 0 or the offset interval spans 0); the block is
     visible iff the three axis intervals intersect.
 
-    Returns (ids [n_tiles, NB] i32 — visible block ids first, counts
-    [n_tiles] i32).
+    Returns (lo [n_tiles] i32, cnt [n_tiles] i32): the contiguous range
+    [lo, lo+cnt) covering every visible block (cnt 0 when none).
     """
     R = o.shape[0]
     n = -(-R // tile)
@@ -108,29 +112,29 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
 
     INF = jnp.float32(jnp.inf)
     # offset interval [lo, hi] = [bmin - omax, bmax - omin]  per (tile, block)
-    lo = block_min[None, :, :] - omax[:, None, :]        # [n, NB, 3]
-    hi = block_max[None, :, :] - omin[:, None, :]
+    lo_i = block_min[None, :, :] - omax[:, None, :]      # [n, NB, 3]
+    hi_i = block_max[None, :, :] - omin[:, None, :]
     dn = dmin[:, None, :]
     dx = dmax[:, None, :]
-    # t*d must land in [lo, hi] for some d in [dn, dx], t >= 0.
-    cands = jnp.stack([_safe_div(lo, dn), _safe_div(lo, dx),
-                       _safe_div(hi, dn), _safe_div(hi, dx)], axis=0)
+    # t*d must land in [lo_i, hi_i] for some d in [dn, dx], t >= 0.
+    cands = jnp.stack([_safe_div(lo_i, dn), _safe_div(lo_i, dx),
+                       _safe_div(hi_i, dn), _safe_div(hi_i, dx)], axis=0)
     tmin_ax = jnp.min(cands, axis=0)
     tmax_ax = jnp.max(cands, axis=0)
-    # whole [0, inf) reachable when the direction interval spans 0 (some ray
-    # can have d_k ~ 0 => any t keeps the axis satisfiable if 0 in [lo, hi]),
-    # or conservatively when the offset interval contains 0.
-    spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo <= 0.0) & (hi >= 0.0))
+    spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo_i <= 0.0) & (hi_i >= 0.0))
     tmin_ax = jnp.where(spans, 0.0, jnp.maximum(tmin_ax, 0.0))
     tmax_ax = jnp.where(spans, INF, tmax_ax)
     t_lo = jnp.max(tmin_ax, axis=-1)                     # [n, NB]
     t_hi = jnp.min(tmax_ax, axis=-1)
     visible = (t_hi >= t_lo) & (t_hi >= 0.0)
 
-    counts = visible.sum(axis=-1).astype(jnp.int32)
-    # visible ids first (stable argsort of ~visible)
-    ids = jnp.argsort(~visible, axis=-1, stable=True).astype(jnp.int32)
-    return ids, counts
+    NB = visible.shape[1]
+    idx = jnp.arange(NB, dtype=jnp.int32)
+    first = jnp.min(jnp.where(visible, idx, NB), axis=-1)     # [n]
+    last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
+    cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
+    lo = jnp.where(cnt > 0, first, 0).astype(jnp.int32)
+    return lo, cnt
 
 
 def _safe_div(a, b):
@@ -146,27 +150,39 @@ def _safe_div(a, b):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
-                    ids_hbm, G_hbm, t_ref, idx_ref, ids_smem, gbuf, sem_ids,
-                    sem_g):
+def _mt_quad(F, G, block, eps):
+    """[TILE_R, F_DIM] x [F_DIM, 4B] -> (t [TILE_R, B] with misses=+inf)."""
+    # HIGHEST: the MXU's default single-pass bf16 is far too coarse for
+    # Moller-Trumbore's cancellations (det/u/v/t go through differences of
+    # large products); 3-pass bf16 recovers ~f32 accuracy.
+    quad = jnp.dot(F, G, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)      # [TILE_R, 4B]
+    B = block
+    det = quad[:, :B]
+    u_num = quad[:, B:2 * B]
+    v_num = quad[:, 2 * B:3 * B]
+    t_num = quad[:, 3 * B:]
+    inv = 1.0 / det
+    u = u_num * inv
+    v = v_num * inv
+    t = t_num * inv
+    valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
+            (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    return jnp.where(valid, t, jnp.inf)
+
+
+def _nearest_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, G_hbm,
+                    t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    cnt = counts_ref[i]
-
-    # ids are [n, NBpad//128, 128] in HBM; the leading-dim slice .at[i] is
-    # tiling-exempt and shape-matches the SMEM buffer, so one whole-buffer
-    # DMA brings the tile's block list in.  (1D SMEM buffers get a (512)
-    # tile that partial slices cannot honor; 2D keeps everything aligned.)
-    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
-    cp.start()
-    cp.wait()
-
+    lo = lo_ref[i]
+    cnt = cnt_ref[i]
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
-                                     gbuf.at[slot], sem_g.at[slot])
+        return pltpu.make_async_copy(G_hbm.at[lo + k], gbuf.at[slot],
+                                     sem_g.at[slot])
 
     if not _SYNC_DMA:
         @pl.when(cnt > 0)
@@ -185,22 +201,7 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
                 g_dma((k + 1) % 2, k + 1).start()
 
         g_dma(slot, k).wait()
-        # HIGHEST: the MXU's default single-pass bf16 is far too coarse for
-        # Moller-Trumbore's cancellations (det/u/v/t go through differences
-        # of large products); 3-pass bf16 recovers ~f32 accuracy
-        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [TILE_R, 4B]
-        det = quad[:, :B]
-        u_num = quad[:, B:2 * B]
-        v_num = quad[:, 2 * B:3 * B]
-        t_num = quad[:, 3 * B:]
-        inv = 1.0 / det
-        u = u_num * inv
-        v = v_num * inv
-        t = t_num * inv
-        valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-                (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-        t = jnp.where(valid, t, jnp.inf)
+        t = _mt_quad(F, gbuf[slot], B, eps)
         # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic cannot
         # reshape across the sublane/lane boundary
         bt = jnp.min(t, axis=1, keepdims=True)               # [TILE_R, 1]
@@ -208,8 +209,7 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
         bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
         better = bt < best_t
         best_t = jnp.where(better, bt, best_t)
-        best_i = jnp.where(better & (bj < B),
-                           ids_smem[k // 128, k % 128] * B + bj, best_i)
+        best_i = jnp.where(better & (bj < B), (lo + k) * B + bj, best_i)
         return best_t, best_i
 
     init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
@@ -219,60 +219,49 @@ def _nearest_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
     idx_ref[0] = best_i
 
 
-def _anyhit_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
-                   self_ref, ids_hbm, G_hbm, obj_hbm, hit_ref, ids_smem, gbuf,
-                   obuf, sem_ids, sem_g, sem_o):
+def _anyhit_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, self_ref,
+                   G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g, sem_o):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
-    cnt = counts_ref[i]
-
-    cp = pltpu.make_async_copy(ids_hbm.at[i], ids_smem, sem_ids)
-    cp.start()
-    cp.wait()
-
+    lo = lo_ref[i]
+    cnt = cnt_ref[i]
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[ids_smem[k // 128, k % 128]],
-                                     gbuf.at[slot], sem_g.at[slot])
+        return pltpu.make_async_copy(G_hbm.at[lo + k], gbuf.at[slot],
+                                     sem_g.at[slot])
 
     def o_dma(slot, k):
-        return pltpu.make_async_copy(obj_hbm.at[ids_smem[k // 128, k % 128]],
-                                     obuf.at[slot], sem_o.at[slot])
+        return pltpu.make_async_copy(obj_hbm.at[lo + k], obuf.at[slot],
+                                     sem_o.at[slot])
 
-    @pl.when(cnt > 0)
-    def _():
-        g_dma(0, 0).start()
-        o_dma(0, 0).start()
+    if not _SYNC_DMA:
+        @pl.when(cnt > 0)
+        def _():
+            g_dma(0, 0).start()
+            o_dma(0, 0).start()
 
     def body(k, found):
-        slot = k % 2
+        slot = k % 2 if not _SYNC_DMA else 0
 
-        @pl.when(k + 1 < cnt)
-        def _():
-            g_dma((k + 1) % 2, k + 1).start()
-            o_dma((k + 1) % 2, k + 1).start()
+        if _SYNC_DMA:
+            g_dma(0, k).start()
+            o_dma(0, k).start()
+        else:
+            @pl.when(k + 1 < cnt)
+            def _():
+                g_dma((k + 1) % 2, k + 1).start()
+                o_dma((k + 1) % 2, k + 1).start()
 
         g_dma(slot, k).wait()
         o_dma(slot, k).wait()
-        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        det = quad[:, :B]
-        u_num = quad[:, B:2 * B]
-        v_num = quad[:, 2 * B:3 * B]
-        t_num = quad[:, 3 * B:]
-        inv = 1.0 / det
-        u = u_num * inv
-        v = v_num * inv
-        t = t_num * inv
-        valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-                (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        t = _mt_quad(F, gbuf[slot], B, eps)
         other = obuf[slot][None, :] != self_obj          # [TILE_R, B]
-        occ = jnp.max(jnp.where(valid & other, 1.0, 0.0), axis=1,
+        occ = jnp.max(jnp.where(jnp.isfinite(t) & other, 1.0, 0.0), axis=1,
                       keepdims=True)
         # carry f32, not bool: Mosaic cannot legalize i1 loop carries
         return jnp.maximum(found, occ)
@@ -287,20 +276,16 @@ def _anyhit_kernel(block: int, eps: float, nbpad: int, counts_ref, F_ref,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_nearest(F, ids, counts, Gt, tile: int, block: int, eps: float):
-    """F [n,tile,F_DIM], ids [n,NB] i32, counts [n] i32, Gt [NB,F_DIM,4B]
+def tiled_nearest(F, lo, cnt, Gt, tile: int, block: int, eps: float):
+    """F [n,tile,F_DIM], lo/cnt [n] i32, Gt [NB,F_DIM,4B]
     -> (t [n,tile], idx [n,tile])."""
-    n, NB = ids.shape
-    NBpad = max(128, -(-NB // 128) * 128)   # lane-aligned ids rows for DMA
-    if NBpad != NB:
-        ids = jnp.pad(ids, ((0, 0), (0, NBpad - NB)))
+    n = F.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # ids
             pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
         ],
         out_specs=[
@@ -310,42 +295,36 @@ def tiled_nearest(F, ids, counts, Gt, tile: int, block: int, eps: float):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     t, idx = pl.pallas_call(
-        functools.partial(_nearest_kernel, block, eps, NBpad),
+        functools.partial(_nearest_kernel, block, eps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, tile, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, tile, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(counts, F, ids.reshape(n, NBpad // 128, 128), Gt)
+    )(lo, cnt, F, Gt)
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
+def tiled_anyhit(F, self_obj, lo, cnt, Gt, obj_blocks,
                  tile: int, block: int, eps: float):
     """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
     -> found [n, tile] bool."""
-    n, NB = ids.shape
-    NBpad = max(128, -(-NB // 128) * 128)
-    if NBpad != NB:
-        ids = jnp.pad(ids, ((0, 0), (0, NBpad - NB)))
+    n = F.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # ids
             pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
             pl.BlockSpec(memory_space=pltpu.HBM),   # obj blocks
         ],
@@ -354,21 +333,18 @@ def tiled_anyhit(F, self_obj, ids, counts, Gt, obj_blocks,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NBpad // 128, 128), jnp.int32),
             pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
             pltpu.VMEM((2, block), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (found,) = pl.pallas_call(
-        functools.partial(_anyhit_kernel, block, eps, NBpad),
+        functools.partial(_anyhit_kernel, block, eps),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, tile, 1), jnp.int32)],
         interpret=_interpret(),
-    )(counts, F, self_obj.reshape(n, tile, 1),
-      ids.reshape(n, NBpad // 128, 128), Gt, obj_blocks)
+    )(lo, cnt, F, self_obj.reshape(n, tile, 1), Gt, obj_blocks)
     return found.reshape(n, tile) != 0
 
 
@@ -381,9 +357,9 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float):
     block = prep.block_size
     Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
-    ids, counts = cull_blocks(origin, direction, tile,
-                              prep.block_min, prep.block_max)
-    t, idx = tiled_nearest(F, ids, counts, Gt, tile, block, eps)
+    lo, cnt = cull_blocks(origin, direction, tile,
+                          prep.block_min, prep.block_max)
+    t, idx = tiled_nearest(F, lo, cnt, Gt, tile, block, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
@@ -395,14 +371,14 @@ def tiled_shadow_fn(prep, tile: int, eps: float):
     def shadow(point, light, self_obj):
         d = light - point
         F, n, R = ray_tile_features(point, d, tile)
-        ids, counts = cull_blocks(point, d, tile,
-                                  prep.block_min, prep.block_max)
+        lo, cnt = cull_blocks(point, d, tile,
+                              prep.block_min, prep.block_max)
         so = self_obj.astype(jnp.float32)
         pad = n * tile - R
         if pad:
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
-        found = tiled_anyhit(F, so.reshape(n, tile), ids, counts, Gt,
+        found = tiled_anyhit(F, so.reshape(n, tile), lo, cnt, Gt,
                              obj_blocks, tile, block, eps)
         return found.reshape(-1)[:R]
 

@@ -39,10 +39,10 @@ def test_cull_blocks_is_conservative():
     o, d = primary_rays(64, 32)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     tile = 256
-    ids, counts = jax.jit(
+    lo, cnt = jax.jit(
         lambda o, d, bm, bx: tiled.cull_blocks(o, d, tile, bm, bx))(
             o, d, prep.block_min, prep.block_max)
-    ids, counts = np.asarray(ids), np.asarray(counts)
+    lo, cnt = np.asarray(lo), np.asarray(cnt)
 
     # oracle: per-ray brute force against every block's triangles
     t_ref, idx_ref = jax.jit(lambda s, o, d: brute_force_hits(s, o, d))(
@@ -52,7 +52,7 @@ def test_cull_blocks_is_conservative():
     bs = prep.block_size
     n = o.shape[0] // tile
     for ti in range(n):
-        vis = set(ids[ti, :counts[ti]].tolist())
+        vis = set(range(lo[ti], lo[ti] + cnt[ti]))
         hit_idx = idx_ref[ti * tile:(ti + 1) * tile]
         hit_blocks = set((hit_idx[hit_idx >= 0] // bs).tolist())
         assert hit_blocks <= vis, \
