@@ -70,6 +70,32 @@ def pack_gram_blocks(verts_cart: jnp.ndarray, block: int) -> jnp.ndarray:
     return jnp.concatenate([Gt, pad], axis=1)
 
 
+def tile_permutation(width: int, height: int, tile_px: int):
+    """Permutation mapping row-major flat pixel order -> 2D-tile-major order.
+
+    Square tiles give far tighter per-tile direction AABBs than row slivers
+    (a 256-pixel run of one row spans 13% of a 1080p image's width; a 16x16
+    tile spans 0.8%), which multiplies the block-cull rate.  Returns
+    (perm, inv) with perm/inv int32 [W*H]: tiled[i] = flat[perm[i]].
+    Handles non-multiple sizes by padding tile edges with clamped pixels.
+    """
+    import numpy as np
+    ty = -(-height // tile_px)
+    tx = -(-width // tile_px)
+    yy = np.minimum(np.arange(ty * tile_px), height - 1)
+    xx = np.minimum(np.arange(tx * tile_px), width - 1)
+    Y = yy.reshape(ty, tile_px)
+    X = xx.reshape(tx, tile_px)
+    # [ty, tx, tile_px, tile_px] pixel coordinates
+    rows = Y[:, None, :, None]
+    cols = X[None, :, None, :]
+    perm = (rows * width + cols).reshape(-1).astype(np.int32)
+    inv = np.full(width * height, -1, np.int64)
+    # later writes win; duplicates (clamped pads) map to the same pixel
+    inv[perm] = np.arange(perm.size)
+    return perm, inv.astype(np.int32)
+
+
 def ray_tile_features(o: jnp.ndarray, d: jnp.ndarray, tile: int):
     """Flat rays [R,3] -> (F [n_tiles, tile, F_DIM], n_tiles, R).  Pads R up
     with the last ray (harmless duplicate work)."""

@@ -175,10 +175,16 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
                 scene, cfg, oo, dd, light_pos)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
-    # tiled mode manages its own memory (block DMA inside the kernel) and its
-    # Gram packing must not be re-emitted inside a chunk loop
-    chunk = 0 if cfg.mode == "tiled" else cfg.ray_chunk
-    radiance, hit = _map_ray_chunks(body, o, d, chunk)
+    if cfg.mode == "tiled":
+        # 2D pixel tiles: square tiles give far tighter per-tile ray bounds
+        # than row slivers, multiplying the kernel's block-cull rate.  The
+        # kernel manages its own memory (block DMA), so no ray chunking.
+        from ..kernels.tiled import tile_permutation
+        perm, inv = tile_permutation(cam.width, cam.height, cfg.tile_px)
+        radiance_t, hit_t = body(o[perm], d[perm])
+        radiance, hit = radiance_t[inv], hit_t[inv]
+    else:
+        radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
 
     H, W = cam.height, cam.width
     return radiance.reshape(H, W, 3), hit.reshape(H, W)
