@@ -70,7 +70,7 @@ def apply_params(scene, p: DiffParams):
 
 def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
                     axis: str = "dp", lr: float = 1e-3,
-                    remat: bool = False):
+                    remat: bool = False, optimizer=None):
     """Build a jitted SGD step fitting DiffParams to a target radiance image.
 
     Returns step(params, target [H,W,3]) -> (params, loss).  With a mesh, the
@@ -112,6 +112,18 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
                 in_specs=(P(), P(axis), P(axis), P(axis)),
                 out_specs=P())
             return f(params, o, d, target.reshape(-1, 3)) / R
+
+    if optimizer is not None:
+        # optax path: step(params, opt_state, target) -> (params, opt_state,
+        # loss); build opt_state with optimizer.init(params)
+        @jax.jit
+        def opt_step(params: DiffParams, opt_state, target):
+            loss, grads = jax.value_and_grad(loss_fn)(params, target)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+        return opt_step
 
     @jax.jit
     def step(params: DiffParams, target):

@@ -271,7 +271,14 @@ def _anyhit_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, self_ref,
             g_dma(0, 0).start()
             o_dma(0, 0).start()
 
-    def body(k, found):
+    def cond(state):
+        k, found, done = state
+        # early exit once every ray in the tile is occluded — shadow tiles
+        # saturate fast, and any further blocks are wasted DMA + matmul
+        return (k < cnt) & ~done
+
+    def body(state):
+        k, found, _ = state
         slot = k % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
@@ -290,10 +297,22 @@ def _anyhit_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, self_ref,
         occ = jnp.max(jnp.where(jnp.isfinite(t) & other, 1.0, 0.0), axis=1,
                       keepdims=True)
         # carry f32, not bool: Mosaic cannot legalize i1 loop carries
-        return jnp.maximum(found, occ)
+        found = jnp.maximum(found, occ)
+        return k + 1, found, jnp.min(found) > 0.0
 
-    init = jnp.zeros((TILE_R, 1), jnp.float32)
-    found = jax.lax.fori_loop(0, cnt, body, init)
+    init = (jnp.int32(0), jnp.zeros((TILE_R, 1), jnp.float32),
+            jnp.bool_(False))
+    k_end, found, _ = jax.lax.while_loop(cond, body, init)
+
+    if not _SYNC_DMA:
+        # early exit leaves at most one prefetched DMA in flight (started for
+        # index k_end when iteration k_end-1 ran); drain it so the semaphores
+        # are clean for the next grid step
+        @pl.when(k_end < cnt)
+        def _():
+            g_dma(k_end % 2, k_end).wait()
+            o_dma(k_end % 2, k_end).wait()
+
     hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
 
