@@ -100,6 +100,11 @@ class RenderConfig:
     # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px rays).
     tile_px: int = 16
 
+    # Tiled-path cull-list capacity: tiles with <= cull_maxv visible triangle
+    # blocks get an exact compacted list (scalar-prefetch SMEM table); heavier
+    # tiles fall back to the covering contiguous range.  0 = ranges only.
+    cull_maxv: int = 64
+
     # Rays processed per lax.map chunk in the bvh/bruteforce paths (bounds the
     # per-ray gather scratch, which would otherwise scale O(R * max_leaf * 9)
     # and OOM at 1080p).  0 = single chunk.

@@ -9,16 +9,16 @@ The TPU performance path.  Design (SURVEY.md §7, DESIGN.md):
   [TILE_R,16] @ [16,4B] matmul — the hot loop lives on the systolic array
   instead of the VPU, replacing the reference's scalar kernel
   (simple_raytracer.cpp:42-75).
-* **Range culling instead of per-ray BVH walks.**  Per-ray pointer chasing
+* **Tile culling instead of per-ray BVH walks.**  Per-ray pointer chasing
   (simple_raytracer.cpp:296-317) is hostile to a lockstep SIMD machine.
   Triangles are BVH-reordered so consecutive triangles are spatially coherent
-  (accel/bvh.py:triangle_blocks); each RAY TILE culls blocks with a
-  conservative interval slab test (tile ray bounds × block AABB) and visits
-  the CONTIGUOUS block range [lo, lo+cnt) covering the survivors.  Two
-  scalars per tile ride in via scalar prefetch — no block-id tables, no
-  HBM→SMEM DMA (manual SMEM DMA + dynamic 2D SMEM reads proved fragile under
-  Mosaic; ranges cost a few extra blocks in gaps but BVH preorder keeps the
-  visible set clustered).
+  (accel/bvh.py:triangle_blocks); each RAY TILE (2D pixel tile) culls blocks
+  with a conservative interval slab test (tile ray bounds × block AABB).
+  Tiles whose visible set fits ``cull_maxv`` walk an EXACT compacted block
+  list (the canonical scalar-prefetch block-sparse pattern — the id table
+  lives in SMEM); heavier tiles (a few percent: silhouette/through-body
+  tiles) fall back to the covering contiguous range.  Manual HBM→SMEM id DMA
+  was tried and faulted under Mosaic; scalar prefetch is the supported path.
 * **Double-buffered DMA.**  Inside the kernel, each tile walks its range
   with `pltpu.make_async_copy` HBM→VMEM, overlapping the next block's fetch
   with the current matmul.  SRT_TILED_SYNC=1 disables the overlap (debug).
@@ -125,6 +125,48 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     Returns (lo [n_tiles] i32, cnt [n_tiles] i32): the contiguous range
     [lo, lo+cnt) covering every visible block (cnt 0 when none).
     """
+    visible, n = _visibility(o, d, tile, block_min, block_max)
+    NB = visible.shape[1]
+    idx = jnp.arange(NB, dtype=jnp.int32)
+    first = jnp.min(jnp.where(visible, idx, NB), axis=-1)     # [n]
+    last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
+    cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
+    lo = jnp.where(cnt > 0, first, 0).astype(jnp.int32)
+    return lo, cnt
+
+
+def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
+                      block_min: jnp.ndarray, block_max: jnp.ndarray,
+                      maxv: int):
+    """List culling with range fallback.
+
+    Same conservative visibility as :func:`cull_blocks`, but tiles whose
+    visible count fits ``maxv`` get an EXACT compacted block list (ids ride
+    into SMEM via scalar prefetch); heavier tiles (a few percent — whole-
+    object silhouette tiles) fall back to the covering contiguous range.
+
+    Returns (ids [n, maxv] i32, aux [n, 4] i32) with aux rows
+    (lo, range_cnt, list_cnt, use_list).
+    """
+    visible, n = _visibility(o, d, tile, block_min, block_max)
+    NB = visible.shape[1]
+    idx = jnp.arange(NB, dtype=jnp.int32)
+    first = jnp.min(jnp.where(visible, idx, NB), axis=-1)
+    last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
+    range_cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
+    lo = jnp.where(range_cnt > 0, first, 0).astype(jnp.int32)
+
+    list_cnt = visible.sum(axis=-1).astype(jnp.int32)
+    use_list = (list_cnt <= maxv).astype(jnp.int32)
+    order = jnp.argsort(~visible, axis=-1, stable=True).astype(jnp.int32)
+    ids = order[:, :maxv]
+    aux = jnp.stack([lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list],
+                    axis=-1)
+    return ids, aux
+
+
+def _visibility(o, d, tile, block_min, block_max):
+    """Shared conservative (tile, block) visibility mask [n, NB]."""
     R = o.shape[0]
     n = -(-R // tile)
     pad = n * tile - R
@@ -133,16 +175,13 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
     ot = o.reshape(n, tile, 3)
     dt = d.reshape(n, tile, 3)
-    omin, omax = ot.min(1), ot.max(1)                    # [n, 3]
+    omin, omax = ot.min(1), ot.max(1)
     dmin, dmax = dt.min(1), dt.max(1)
-
     INF = jnp.float32(jnp.inf)
-    # offset interval [lo, hi] = [bmin - omax, bmax - omin]  per (tile, block)
-    lo_i = block_min[None, :, :] - omax[:, None, :]      # [n, NB, 3]
+    lo_i = block_min[None, :, :] - omax[:, None, :]
     hi_i = block_max[None, :, :] - omin[:, None, :]
     dn = dmin[:, None, :]
     dx = dmax[:, None, :]
-    # t*d must land in [lo_i, hi_i] for some d in [dn, dx], t >= 0.
     cands = jnp.stack([_safe_div(lo_i, dn), _safe_div(lo_i, dx),
                        _safe_div(hi_i, dn), _safe_div(hi_i, dx)], axis=0)
     tmin_ax = jnp.min(cands, axis=0)
@@ -150,17 +189,9 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo_i <= 0.0) & (hi_i >= 0.0))
     tmin_ax = jnp.where(spans, 0.0, jnp.maximum(tmin_ax, 0.0))
     tmax_ax = jnp.where(spans, INF, tmax_ax)
-    t_lo = jnp.max(tmin_ax, axis=-1)                     # [n, NB]
+    t_lo = jnp.max(tmin_ax, axis=-1)
     t_hi = jnp.min(tmax_ax, axis=-1)
-    visible = (t_hi >= t_lo) & (t_hi >= 0.0)
-
-    NB = visible.shape[1]
-    idx = jnp.arange(NB, dtype=jnp.int32)
-    first = jnp.min(jnp.where(visible, idx, NB), axis=-1)     # [n]
-    last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
-    cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
-    lo = jnp.where(cnt > 0, first, 0).astype(jnp.int32)
-    return lo, cnt
+    return (t_hi >= t_lo) & (t_hi >= 0.0), n
 
 
 def _safe_div(a, b):
@@ -197,17 +228,32 @@ def _mt_quad(F, G, block, eps):
     return jnp.where(valid, t, jnp.inf)
 
 
-def _nearest_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, G_hbm,
+def _tile_plan(ids_ref, aux_ref, i):
+    """Per-tile work plan from the scalar-prefetch tables: block count and a
+    k -> block-id mapping (exact list when it fit, covering range else)."""
+    maxv = ids_ref.shape[1]
+    lo = aux_ref[i, 0]
+    use_list = aux_ref[i, 3] == 1
+    cnt = jnp.where(use_list, aux_ref[i, 2], aux_ref[i, 1])
+
+    def bid(k):
+        # clamp the list index: in range mode k can exceed maxv and both
+        # sides of the select are evaluated
+        return jnp.where(use_list, ids_ref[i, jnp.minimum(k, maxv - 1)],
+                         lo + k)
+    return cnt, bid
+
+
+def _nearest_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    lo = lo_ref[i]
-    cnt = cnt_ref[i]
+    cnt, bid = _tile_plan(ids_ref, aux_ref, i)
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[lo + k], gbuf.at[slot],
+        return pltpu.make_async_copy(G_hbm.at[bid(k)], gbuf.at[slot],
                                      sem_g.at[slot])
 
     if not _SYNC_DMA:
@@ -235,7 +281,7 @@ def _nearest_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, G_hbm,
         bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
         better = bt < best_t
         best_t = jnp.where(better, bt, best_t)
-        best_i = jnp.where(better & (bj < B), (lo + k) * B + bj, best_i)
+        best_i = jnp.where(better & (bj < B), bid(k) * B + bj, best_i)
         return best_t, best_i
 
     init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
@@ -245,24 +291,23 @@ def _nearest_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, G_hbm,
     idx_ref[0] = best_i
 
 
-def _anyhit_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, self_ref,
+def _anyhit_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, self_ref,
                    G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g, sem_o):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
-    lo = lo_ref[i]
-    cnt = cnt_ref[i]
+    cnt, bid = _tile_plan(ids_ref, aux_ref, i)
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
     B = block
 
     def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[lo + k], gbuf.at[slot],
+        return pltpu.make_async_copy(G_hbm.at[bid(k)], gbuf.at[slot],
                                      sem_g.at[slot])
 
     def o_dma(slot, k):
-        return pltpu.make_async_copy(obj_hbm.at[lo + k], obuf.at[slot],
+        return pltpu.make_async_copy(obj_hbm.at[bid(k)], obuf.at[slot],
                                      sem_o.at[slot])
 
     if not _SYNC_DMA:
@@ -321,8 +366,8 @@ def _anyhit_kernel(block: int, eps: float, lo_ref, cnt_ref, F_ref, self_ref,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_nearest(F, lo, cnt, Gt, tile: int, block: int, eps: float):
-    """F [n,tile,F_DIM], lo/cnt [n] i32, Gt [NB,F_DIM,4B]
+def tiled_nearest(F, ids, aux, Gt, tile: int, block: int, eps: float):
+    """F [n,tile,F_DIM], ids [n,maxv] i32, aux [n,4] i32, Gt [NB,F_DIM,4B]
     -> (t [n,tile], idx [n,tile])."""
     n = F.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -352,12 +397,12 @@ def tiled_nearest(F, lo, cnt, Gt, tile: int, block: int, eps: float):
             jax.ShapeDtypeStruct((n, tile, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(lo, cnt, F, Gt)
+    )(ids, aux, F, Gt)
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_anyhit(F, self_obj, lo, cnt, Gt, obj_blocks,
+def tiled_anyhit(F, self_obj, ids, aux, Gt, obj_blocks,
                  tile: int, block: int, eps: float):
     """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
     -> found [n, tile] bool."""
@@ -389,7 +434,7 @@ def tiled_anyhit(F, self_obj, lo, cnt, Gt, obj_blocks,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, tile, 1), jnp.int32)],
         interpret=_interpret(),
-    )(lo, cnt, F, self_obj.reshape(n, tile, 1), Gt, obj_blocks)
+    )(ids, aux, F, self_obj.reshape(n, tile, 1), Gt, obj_blocks)
     return found.reshape(n, tile) != 0
 
 
@@ -397,18 +442,33 @@ def tiled_anyhit(F, self_obj, lo, cnt, Gt, obj_blocks,
 # Renderer front-end
 # ---------------------------------------------------------------------------
 
-def tiled_hits(prep, origin, direction, tile: int, eps: float):
+def _cull(origin, direction, tile, prep, maxv):
+    """Unified cull -> (ids, aux) for the kernels.  maxv > 0: exact lists
+    with range fallback; maxv == 0: pure ranges."""
+    if maxv > 0:
+        return cull_blocks_lists(origin, direction, tile,
+                                 prep.block_min, prep.block_max, maxv)
+    lo, cnt = cull_blocks(origin, direction, tile,
+                          prep.block_min, prep.block_max)
+    n = lo.shape[0]
+    ids = jnp.zeros((n, 1), jnp.int32)
+    aux = jnp.stack([lo, cnt, jnp.zeros_like(lo), jnp.zeros_like(lo)],
+                    axis=-1)
+    return ids, aux
+
+
+def tiled_hits(prep, origin, direction, tile: int, eps: float,
+               maxv: int = 64):
     """Nearest hit over flat rays via the tiled kernel.  Returns (t, idx)."""
     block = prep.block_size
     Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
-    lo, cnt = cull_blocks(origin, direction, tile,
-                          prep.block_min, prep.block_max)
-    t, idx = tiled_nearest(F, lo, cnt, Gt, tile, block, eps)
+    ids, aux = _cull(origin, direction, tile, prep, maxv)
+    t, idx = tiled_nearest(F, ids, aux, Gt, tile, block, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
-def tiled_shadow_fn(prep, tile: int, eps: float):
+def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64):
     block = prep.block_size
     Gt = prep.gram
     obj_blocks = prep.obj_blocks
@@ -416,14 +476,13 @@ def tiled_shadow_fn(prep, tile: int, eps: float):
     def shadow(point, light, self_obj):
         d = light - point
         F, n, R = ray_tile_features(point, d, tile)
-        lo, cnt = cull_blocks(point, d, tile,
-                              prep.block_min, prep.block_max)
+        ids, aux = _cull(point, d, tile, prep, maxv)
         so = self_obj.astype(jnp.float32)
         pad = n * tile - R
         if pad:
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
-        found = tiled_anyhit(F, so.reshape(n, tile), lo, cnt, Gt,
+        found = tiled_anyhit(F, so.reshape(n, tile), ids, aux, Gt,
                              obj_blocks, tile, block, eps)
         return found.reshape(-1)[:R]
 
@@ -433,8 +492,9 @@ def tiled_shadow_fn(prep, tile: int, eps: float):
 def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
     tile = cfg.tile_px * cfg.tile_px
-    t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps)
-    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps) \
+    t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps,
+                            cfg.cull_maxv)
+    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv) \
         if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
                                 tri_idx, light_pos, shadow_fn)
