@@ -157,12 +157,15 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     lo = jnp.where(range_cnt > 0, first, 0).astype(jnp.int32)
 
     list_cnt = visible.sum(axis=-1).astype(jnp.int32)
+    maxv = min(maxv, PLAN_MAXV)
     use_list = (list_cnt <= maxv).astype(jnp.int32)
     order = jnp.argsort(~visible, axis=-1, stable=True).astype(jnp.int32)
-    ids = order[:, :maxv]
+    ids = order[:, :PLAN_MAXV]
+    if ids.shape[1] < PLAN_MAXV:
+        ids = jnp.pad(ids, ((0, 0), (0, PLAN_MAXV - ids.shape[1])))
     aux = jnp.stack([lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list],
                     axis=-1)
-    return ids, aux
+    return jnp.concatenate([aux, ids], axis=-1)       # [n, PLAN_W]
 
 
 def _visibility(o, d, tile, block_min, block_max):
@@ -228,26 +231,33 @@ def _mt_quad(F, G, block, eps):
     return jnp.where(valid, t, jnp.inf)
 
 
-def _tile_plan(ids_ref, aux_ref, i):
-    """Per-tile work plan from the scalar-prefetch tables: block count and a
-    k -> block-id mapping (exact list when it fit, covering range else)."""
-    maxv = ids_ref.shape[1]
-    lo = aux_ref[i, 0]
-    use_list = aux_ref[i, 3] == 1
-    cnt = jnp.where(use_list, aux_ref[i, 2], aux_ref[i, 1])
+PLAN_W = 128        # plan-table width: SMEM rows lane-pad to 128 anyway
+PLAN_AUX = 4        # cols 0-3: lo, range_cnt, list_cnt, use_list; 4..: ids
+PLAN_MAXV = PLAN_W - PLAN_AUX
+
+
+def _tile_plan(plan_ref, i):
+    """Per-tile work plan from the fused scalar-prefetch table [n, PLAN_W]:
+    block count and a k -> block-id mapping (exact list when it fit, covering
+    range else).  Fusing aux + ids into one 128-wide row costs nothing (SMEM
+    lane padding) and keeps exactly one prefetch operand."""
+    lo = plan_ref[i, 0]
+    use_list = plan_ref[i, 3] == 1
+    cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
     def bid(k):
         # clamp the list index: in range mode k can exceed maxv and both
         # sides of the select are evaluated
-        return jnp.where(use_list, ids_ref[i, jnp.minimum(k, maxv - 1)],
-                         lo + k)
+        return jnp.where(
+            use_list,
+            plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)], lo + k)
     return cnt, bid
 
 
-def _nearest_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, G_hbm,
+def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    cnt, bid = _tile_plan(ids_ref, aux_ref, i)
+    cnt, bid = _tile_plan(plan_ref, i)
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
@@ -291,12 +301,12 @@ def _nearest_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, G_hbm,
     idx_ref[0] = best_i
 
 
-def _anyhit_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, self_ref,
+def _anyhit_kernel(block: int, eps: float, plan_ref, F_ref, self_ref,
                    G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g, sem_o):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
-    cnt, bid = _tile_plan(ids_ref, aux_ref, i)
+    cnt, bid = _tile_plan(plan_ref, i)
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
@@ -365,76 +375,112 @@ def _anyhit_kernel(block: int, eps: float, ids_ref, aux_ref, F_ref, self_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
+# SMEM is ~1 MB; a plan row occupies PLAN_W*4 = 512 B, so cap tiles per
+# pallas_call and lax.map over chunks for bigger frames.
+MAX_TILES_PER_CALL = 1536
+
+
+def _chunk_tiles(fn, n, *arrays):
+    """Run ``fn(chunk_arrays...)`` over <=MAX_TILES_PER_CALL tile chunks
+    (leading axis n).  Pads with zeros (plan rows of zeros = cnt 0)."""
+    C = MAX_TILES_PER_CALL
+    if n <= C:
+        return fn(*arrays)
+    nc = -(-n // C)
+    pad = nc * C - n
+
+    def pz(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a.reshape((nc, C) + a.shape[1:])
+
+    outs = jax.lax.map(lambda xs: fn(*xs), tuple(pz(a) for a in arrays))
+    return jax.tree.map(
+        lambda o: o.reshape((nc * C,) + o.shape[2:])[:n], outs)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_nearest(F, ids, aux, Gt, tile: int, block: int, eps: float):
-    """F [n,tile,F_DIM], ids [n,maxv] i32, aux [n,4] i32, Gt [NB,F_DIM,4B]
+def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
+    """F [n,tile,F_DIM], plan [n,PLAN_W] i32, Gt [NB,F_DIM,4B]
     -> (t [n,tile], idx [n,tile])."""
     n = F.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    t, idx = pl.pallas_call(
-        functools.partial(_nearest_kernel, block, eps),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n, tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, tile, 1), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(ids, aux, F, Gt)
+
+    def call(Fc, planc):
+        nl = Fc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_nearest_kernel, block, eps),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nl, tile, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(planc, Fc, Gt)
+
+    t, idx = _chunk_tiles(call, n, F, plan)
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_anyhit(F, self_obj, ids, aux, Gt, obj_blocks,
+def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
                  tile: int, block: int, eps: float):
     """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
     -> found [n, tile] bool."""
     n = F.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
-            pl.BlockSpec(memory_space=pltpu.HBM),   # obj blocks
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
-            pltpu.VMEM((2, block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    (found,) = pl.pallas_call(
-        functools.partial(_anyhit_kernel, block, eps),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, tile, 1), jnp.int32)],
-        interpret=_interpret(),
-    )(ids, aux, F, self_obj.reshape(n, tile, 1), Gt, obj_blocks)
+
+    def call(Fc, selfc, planc):
+        nl = Fc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec((1, tile, F_DIM), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+                pl.BlockSpec(memory_space=pltpu.HBM),   # obj blocks
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
+                pltpu.VMEM((2, block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        (found,) = pl.pallas_call(
+            functools.partial(_anyhit_kernel, block, eps),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32)],
+            interpret=_interpret(),
+        )(planc, Fc, selfc, Gt, obj_blocks)
+        return found
+
+    found = _chunk_tiles(call, n, F, self_obj.reshape(n, tile, 1), plan)
     return found.reshape(n, tile) != 0
 
 
@@ -443,18 +489,18 @@ def tiled_anyhit(F, self_obj, ids, aux, Gt, obj_blocks,
 # ---------------------------------------------------------------------------
 
 def _cull(origin, direction, tile, prep, maxv):
-    """Unified cull -> (ids, aux) for the kernels.  maxv > 0: exact lists
-    with range fallback; maxv == 0: pure ranges."""
+    """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
+    exact lists with range fallback; maxv == 0: pure ranges."""
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max)
     n = lo.shape[0]
-    ids = jnp.zeros((n, 1), jnp.int32)
     aux = jnp.stack([lo, cnt, jnp.zeros_like(lo), jnp.zeros_like(lo)],
                     axis=-1)
-    return ids, aux
+    return jnp.concatenate(
+        [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
 
 
 def tiled_hits(prep, origin, direction, tile: int, eps: float,
@@ -463,8 +509,8 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float,
     block = prep.block_size
     Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
-    ids, aux = _cull(origin, direction, tile, prep, maxv)
-    t, idx = tiled_nearest(F, ids, aux, Gt, tile, block, eps)
+    plan = _cull(origin, direction, tile, prep, maxv)
+    t, idx = tiled_nearest(F, plan, Gt, tile, block, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
@@ -476,13 +522,13 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64):
     def shadow(point, light, self_obj):
         d = light - point
         F, n, R = ray_tile_features(point, d, tile)
-        ids, aux = _cull(point, d, tile, prep, maxv)
+        plan = _cull(point, d, tile, prep, maxv)
         so = self_obj.astype(jnp.float32)
         pad = n * tile - R
         if pad:
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
-        found = tiled_anyhit(F, so.reshape(n, tile), ids, aux, Gt,
+        found = tiled_anyhit(F, so.reshape(n, tile), plan, Gt,
                              obj_blocks, tile, block, eps)
         return found.reshape(-1)[:R]
 

@@ -112,3 +112,20 @@ def test_tiled_shadow_matches_bruteforce():
     fn = tiled.tiled_shadow_fn(prep, 256, 1e-12)
     got = jax.jit(fn)(point, light, self_obj)
     np.testing.assert_array_equal(np.asarray(ref)[hitm], np.asarray(got)[hitm])
+
+
+def test_tile_chunking_matches_unchunked(monkeypatch):
+    """Frames larger than MAX_TILES_PER_CALL split into multiple kernel
+    launches (SMEM plan-table budget); results must be identical."""
+    scene = _scene(two_objects=True)
+    cfg = default_config().replace(mode="tiled")
+    prep = prepare(scene, cfg)
+    o, d = primary_rays(64, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t_ref, idx_ref = jax.jit(
+        lambda p, o, d: tiled.tiled_hits(p, o, d, 256, 1e-12))(prep, o, d)
+    monkeypatch.setattr(tiled, "MAX_TILES_PER_CALL", 3)   # 8 tiles -> 3 chunks
+    t_ch, idx_ch = jax.jit(
+        lambda p, o, d: tiled.tiled_hits(p, o, d, 256, 1e-12))(prep, o, d)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_ch))
+    np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_ch))
