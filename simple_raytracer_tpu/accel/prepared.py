@@ -9,15 +9,13 @@ aux_data so tracing specializes on it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..scene.scene import Scene
-from .bvh import FlatBVHHost, build_bvh, concat_bvhs, triangle_blocks
+from .bvh import build_bvh, concat_bvhs, triangle_blocks
 
 
 @jax.tree_util.register_pytree_node_class

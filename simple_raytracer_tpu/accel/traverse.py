@@ -9,7 +9,6 @@ renderer: correct everywhere (CPU/TPU), differentiable via the custom VJP in
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

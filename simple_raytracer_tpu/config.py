@@ -10,7 +10,7 @@ reference's behaviour exactly while remaining fully parameterisable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

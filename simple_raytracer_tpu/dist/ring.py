@@ -17,8 +17,6 @@ All functions here run INSIDE shard_map (they use axis names).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

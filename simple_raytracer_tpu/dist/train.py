@@ -15,8 +15,7 @@ NCCL all-reduce a torch trainer would hand-write.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -174,7 +173,6 @@ def make_train_step_composed(scene, cfg: RenderConfig, mesh: Mesh,
     (params, loss).
     """
     from . import ring as ring_mod
-    from ..render import integrator
 
     scene = jax.device_put(scene)
     cam = cfg.camera

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import functools
 import os as _os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

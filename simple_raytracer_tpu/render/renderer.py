@@ -11,7 +11,7 @@ Modes (RenderConfig.mode):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

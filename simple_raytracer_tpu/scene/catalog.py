@@ -17,7 +17,7 @@ in world mode pass the view matrix to render(..., view_matrix=V).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
