@@ -29,6 +29,8 @@ REFERENCE_RAYS_PER_S = 4900.0   # BASELINE.md: complex scene + BVH
 def run_once(mode: str, width: int, height: int, frames: int,
              shadows: bool) -> dict:
     import jax
+    if os.environ.get("SRT_BENCH_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from simple_raytracer_tpu.config import (default_config, CameraConfig,
@@ -80,10 +82,12 @@ def run_once(mode: str, width: int, height: int, frames: int,
     rays = width * height
     print(f"# frame+fetch times: {[round(t*1000,1) for t in times]} ms",
           file=sys.stderr)
+    platform = jax.devices()[0].platform
     return {
         "metric": (f"primary_rays_per_s_per_chip_bunny_"
                    f"{width}x{height}_{mode}"
-                   + ("" if shadows else "_noshadow")),
+                   + ("" if shadows else "_noshadow")
+                   + ("" if platform == "tpu" else f"_{platform}")),
         "value": round(rays / best, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays / best / REFERENCE_RAYS_PER_S, 2),
@@ -108,24 +112,36 @@ def main():
         print(json.dumps(result))
         return
 
-    # fallback chain: (mode, W, H) — first success wins
+    # fallback chain: (mode, W, H, env) — first success wins.  The final
+    # entry pins CPU so a dead TPU tunnel still yields a (clearly labeled)
+    # measurement instead of nothing.
     chain = []
     if args.mode or args.width:
         chain.append((args.mode or "tiled", args.width or 1920,
-                      args.height or 1080))
-    chain += [("tiled", 1920, 1080), ("tiled", 960, 540),
-              ("bvh", 960, 540), ("tiled", 512, 288), ("bvh", 512, 288)]
+                      args.height or 1080, None))
+    chain += [("tiled", 1920, 1080, None), ("tiled", 960, 540, None),
+              ("bvh", 960, 540, None), ("tiled", 512, 288, None),
+              ("bvh", 512, 288, None), ("bvh", 256, 192, "cpu")]
 
-    for attempt, (mode, w, h) in enumerate(chain):
+    deadline = time.time() + 30 * 60
+    for attempt, (mode, w, h, platform) in enumerate(chain):
+        last = attempt == len(chain) - 1
         for retry in range(2):
+            budget = deadline - time.time()
+            if budget < 60 and not last:
+                break
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--single-attempt", "--mode", mode, "--width", str(w),
                    "--height", str(h), "--frames", str(args.frames)]
             if not args.shadows:
                 cmd.append("--no-shadows")
+            env = dict(os.environ)
+            if platform:
+                env["SRT_BENCH_PLATFORM"] = platform
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=900, cwd=os.path.dirname(
+                                   timeout=max(min(budget, 700), 120),
+                                   env=env, cwd=os.path.dirname(
                                        os.path.abspath(__file__)))
             except subprocess.TimeoutExpired:
                 print(f"# attempt {mode} {w}x{h} timed out", file=sys.stderr)
@@ -141,7 +157,7 @@ def main():
                 return
             print(f"# attempt {mode} {w}x{h} failed (rc={r.returncode}); "
                   f"waiting for TPU recovery", file=sys.stderr)
-            time.sleep(60)
+            time.sleep(45)
     print(json.dumps({"metric": "primary_rays_per_s_per_chip_bunny",
                       "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}))
 
