@@ -138,9 +138,14 @@ def main():
             env = dict(os.environ)
             if platform:
                 env["SRT_BENCH_PLATFORM"] = platform
+            else:
+                env.pop("SRT_BENCH_PLATFORM", None)   # no stale CPU pinning
+            # the terminal CPU fallback gets a full timeout regardless of the
+            # spent budget — it is the "always yield a measurement" leg
+            tmo = 700 if last else max(min(budget, 700), 120)
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=max(min(budget, 700), 120),
+                                   timeout=tmo,
                                    env=env, cwd=os.path.dirname(
                                        os.path.abspath(__file__)))
             except subprocess.TimeoutExpired:
@@ -155,6 +160,8 @@ def main():
                     continue
                 print(line)
                 return
+            if last and retry == 1:
+                break       # nothing left to wait for
             print(f"# attempt {mode} {w}x{h} failed (rc={r.returncode}); "
                   f"waiting for TPU recovery", file=sys.stderr)
             time.sleep(45)
