@@ -67,19 +67,77 @@ def _aabb(verts: np.ndarray, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return v.min(axis=0).astype(np.float32), v.max(axis=0).astype(np.float32)
 
 
+def _sah_split(verts_cart: np.ndarray, cent: np.ndarray, idx: np.ndarray,
+               n_bins: int = 16):
+    """Binned surface-area-heuristic split of ``idx`` by triangle centroid.
+
+    Returns (left_idx, right_idx) or None when no useful split exists
+    (degenerate centroid extent / all-one-side) — caller falls back to the
+    median rule.  The SAH tree is the 'sah' option of BVHConfig.split: the
+    TPU-native improvement over the reference's count-median
+    (Object.cpp:254-255), giving tighter boxes for tile culling.
+    """
+    c = cent[idx]
+    cmin, cmax = c.min(0), c.max(0)
+    ext = cmax - cmin
+    axis = int(np.argmax(ext))
+    if ext[axis] <= 0.0:
+        return None
+    bins = np.minimum(
+        ((c[:, axis] - cmin[axis]) / ext[axis] * n_bins).astype(np.int64),
+        n_bins - 1)
+    tmin = verts_cart[idx].min(axis=1)        # per-tri AABB
+    tmax = verts_cart[idx].max(axis=1)
+
+    big = np.full(3, FLT_MAX, np.float32)
+    bmin = np.full((n_bins, 3), FLT_MAX, np.float32)
+    bmax = np.full((n_bins, 3), -FLT_MAX, np.float32)
+    cnt = np.zeros(n_bins, np.int64)
+    for b in range(n_bins):
+        m = bins == b
+        cnt[b] = m.sum()
+        if cnt[b]:
+            bmin[b] = tmin[m].min(0)
+            bmax[b] = tmax[m].max(0)
+
+    def area(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] + \
+            e[..., 2] * e[..., 0]
+
+    lmin = np.minimum.accumulate(bmin, 0)
+    lmax = np.maximum.accumulate(bmax, 0)
+    rmin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
+    rmax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
+    lcnt = np.cumsum(cnt)
+    rcnt = cnt.sum() - lcnt
+    # split AFTER bin s (s = 0..n_bins-2)
+    cost = (area(lmin[:-1], lmax[:-1]) * lcnt[:-1] +
+            area(rmin[1:], rmax[1:]) * rcnt[:-1])
+    cost = np.where((lcnt[:-1] == 0) | (rcnt[:-1] == 0), np.inf, cost)
+    s = int(np.argmin(cost))
+    if not np.isfinite(cost[s]):
+        return None
+    lmask = bins <= s
+    return idx[lmask], idx[~lmask]
+
+
 def build_bvh(verts_cart: np.ndarray, leaf_size: int = 8,
-              use_native: bool = True) -> FlatBVHHost:
+              use_native: bool = True, split: str = "median") -> FlatBVHHost:
     """Build + flatten one object's BVH (see module docstring).
 
-    Uses the C++ builder (native/native.cpp::bvh_build — identical topology,
-    ~20x faster on bunny-class meshes) when available; the Python path below
-    is the fallback and the reference implementation tests compare against.
+    ``split='median'`` reproduces the reference topology (Object.cpp:240-255),
+    using the C++ builder (native/native.cpp::bvh_build — identical output,
+    ~20x faster on bunny-class meshes) when available.  ``split='sah'`` is the
+    binned surface-area-heuristic improvement (Python host path).
 
     Args:
       verts_cart: [T, 3, 3] Cartesian triangle vertices.
       leaf_size: reference triangleSizeStop = 8 (Object.cpp:261).
     """
-    if use_native:
+    if split not in ("median", "sah"):
+        raise ValueError(f"unknown BVH split rule: {split!r}")
+    if use_native and split == "median":
         from ..native import bvh_build_native
         res = bvh_build_native(np.ascontiguousarray(verts_cart, np.float32),
                                leaf_size)
@@ -90,6 +148,7 @@ def build_bvh(verts_cart: np.ndarray, leaf_size: int = 8,
                                leaf_count, perm, max_leaf, depth)
 
     T = verts_cart.shape[0]
+    cent = verts_cart.mean(axis=1) if (split == "sah" and T) else None
     mins: List[np.ndarray] = []
     maxs: List[np.ndarray] = []
     skip: List[int] = []
@@ -107,13 +166,20 @@ def build_bvh(verts_cart: np.ndarray, leaf_size: int = 8,
         if len(idx) > leaf_size or force_split:
             leaf_first.append(-1)
             leaf_count.append(0)
-            # reference sort: by pointOne along the longest axis (stable
-            # argsort; std::sort is unstable — topology may differ on exact
-            # ties, candidate correctness does not)
-            axis = _longest_axis(bmin, bmax)
-            order = idx[np.argsort(verts_cart[idx, 0, axis], kind="stable")]
-            half = len(order) // 2
-            left, right = order[:half], order[half:]
+            left = right = None
+            if split == "sah" and len(idx) > 1:
+                lr = _sah_split(verts_cart, cent, idx)
+                if lr is not None:
+                    left, right = lr
+            if left is None:
+                # reference sort: by pointOne along the longest axis (stable
+                # argsort; std::sort is unstable — topology may differ on
+                # exact ties, candidate correctness does not)
+                axis = _longest_axis(bmin, bmax)
+                order = idx[np.argsort(verts_cart[idx, 0, axis],
+                                       kind="stable")]
+                half = len(order) // 2
+                left, right = order[:half], order[half:]
             lmin, lmax = _aabb(verts_cart, left)
             rmin, rmax = _aabb(verts_cart, right)
             emit(left, lmin, lmax, False, depth + 1)

@@ -75,7 +75,8 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         end = start
         while end < T and tri_obj[end] == tri_obj[start]:
             end += 1
-        bvhs.append(build_bvh(verts_cart[start:end], cfg.bvh.leaf_size))
+        bvhs.append(build_bvh(verts_cart[start:end], cfg.bvh.leaf_size,
+                              split=cfg.bvh.split))
         offsets.append(start)
         start = end
     if not bvhs:

@@ -68,10 +68,12 @@ def nearest_hit(prep: PreparedScene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 def any_hit_other(prep: PreparedScene, o: jnp.ndarray, d: jnp.ndarray,
-                  self_obj: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+                  self_obj: jnp.ndarray, eps: float = 1e-12,
+                  no_max_t: bool = True) -> jnp.ndarray:
     """Shadow predicate: ANY intersection (t >= 0, no max-t — the reference
     quirk, simple_raytracer.cpp:321-342) with a triangle of a DIFFERENT
-    object.  Early-exits once found."""
+    object.  Early-exits once found.  ``no_max_t=False`` clips occluders
+    beyond the light (t > 1 on the unnormalized segment)."""
     verts_cart = prep.scene.verts_cart()
     tri_obj = prep.scene.tri_obj
     M = prep.num_nodes
@@ -92,6 +94,8 @@ def any_hit_other(prep: PreparedScene, o: jnp.ndarray, d: jnp.ndarray,
         objs = jax.lax.dynamic_slice(tri_obj, (first,), (prep.max_leaf,))
         occ = jnp.isfinite(ts) & (lane < count) & (objs != self_obj) & \
             hit & is_leaf
+        if not no_max_t:
+            occ = occ & (ts <= 1.0)
         found = found | jnp.any(occ)
         nxt = jnp.where(hit & ~is_leaf, i + 1, prep.skip[i])
         return nxt, found
@@ -106,10 +110,12 @@ def bvh_hits(prep: PreparedScene, origin, direction, eps: float = 1e-12):
     return jax.vmap(lambda o, d: nearest_hit(prep, o, d, eps))(origin, direction)
 
 
-def bvh_shadow_fn(prep: PreparedScene, eps: float = 1e-12):
+def bvh_shadow_fn(prep: PreparedScene, eps: float = 1e-12,
+                  no_max_t: bool = True):
     def shadow(point, light, self_obj):
         d = light - point
-        return jax.vmap(lambda o, dd, s: any_hit_other(prep, o, dd, s, eps))(
+        return jax.vmap(
+            lambda o, dd, s: any_hit_other(prep, o, dd, s, eps, no_max_t))(
             point, d, self_obj)
     return shadow
 
@@ -118,7 +124,8 @@ def render_flat_bvh(prep: PreparedScene, cfg: RenderConfig, origin, direction,
                     light_pos):
     """BVH-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
     t, tri_idx = bvh_hits(prep, origin, direction, cfg.mt_eps)
-    shadow_fn = bvh_shadow_fn(prep, cfg.mt_eps) if cfg.light.enable_shadows else None
+    shadow_fn = bvh_shadow_fn(prep, cfg.mt_eps, cfg.light.shadow_no_max_t) \
+        if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t, tri_idx,
                                 light_pos, shadow_fn)
     return radiance, jnp.isfinite(t)

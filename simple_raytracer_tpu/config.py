@@ -117,8 +117,6 @@ class RenderConfig:
     # Möller–Trumbore determinant epsilon (simple_raytracer.cpp:57).
     mt_eps: float = 1e-12
 
-    dtype: str = "float32"
-
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -79,7 +79,8 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
     if cfg.mode == "bruteforce":
         sc = scene
         hit_fn = lambda oo, dd: brute_force_hits(sc, oo, dd, cfg.mt_eps)
-        shadow_fn = brute_force_shadow(sc, cfg.mt_eps) \
+        shadow_fn = brute_force_shadow(
+            sc, cfg.mt_eps, cfg.light.shadow_no_max_t) \
             if cfg.light.enable_shadows else None
     elif cfg.mode == "bvh":
         from ..accel import traverse
@@ -87,7 +88,8 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         # no JVP tracer reaches the while-loop/kernel internals
         prep = jax.lax.stop_gradient(prep_or_scene)
         hit_fn = lambda oo, dd: traverse.bvh_hits(prep, oo, dd, cfg.mt_eps)
-        shadow_fn = traverse.bvh_shadow_fn(prep, cfg.mt_eps) \
+        shadow_fn = traverse.bvh_shadow_fn(
+            prep, cfg.mt_eps, cfg.light.shadow_no_max_t) \
             if cfg.light.enable_shadows else None
     elif cfg.mode == "tiled":
         from ..kernels import tiled
@@ -95,7 +97,9 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         tile = cfg.tile_px * cfg.tile_px
         hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, tile,
                                                  cfg.mt_eps)
-        shadow_fn = tiled.tiled_shadow_fn(prep, tile, cfg.mt_eps) \
+        shadow_fn = tiled.tiled_shadow_fn(
+            prep, tile, cfg.mt_eps, cfg.cull_maxv,
+            cfg.light.shadow_no_max_t) \
             if cfg.light.enable_shadows else None
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")

@@ -24,7 +24,7 @@ from jax import lax
 from ..config import RenderConfig
 from ..ops import intersect as isect
 from ..render import integrator
-from ..utils import match_vma
+from ..utils import match_vma, pad_rays
 
 
 def _local_nearest(verts_local, o, d, eps, G_local=None):
@@ -104,7 +104,7 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
 
 
 def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
-                       eps: float = 1e-12):
+                       eps: float = 1e-12, no_max_t: bool = True):
     """Shadow predicate under geometry sharding: ANY hit (t >= 0, no max-t —
     the reference quirk, simple_raytracer.cpp:321-342) on a triangle of a
     DIFFERENT object, across all shards."""
@@ -116,6 +116,8 @@ def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
         ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
                                    shard["verts_cart"][None], eps)
         occ = jnp.isfinite(ts) & (shard["tri_obj"][None, :] != self_obj[:, None])
+        if not no_max_t:
+            occ = occ & (ts <= 1.0)
         found = found | jnp.any(occ, axis=-1)
         carry = lax.ppermute((o, d, self_obj, found), axis, perm)
         return carry, None
@@ -137,7 +139,8 @@ def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
     shadow_fn = None
     if cfg.light.enable_shadows:
         shadow_fn = lambda p, l, s: ring_any_hit_other(
-            shard, p, l - p, s, axis, cfg.mt_eps)
+            shard, p, l - p, s, axis, cfg.mt_eps,
+            cfg.light.shadow_no_max_t)
     radiance = integrator.shade_records(scene, cfg, rec, o, d, t, light_pos,
                                         shadow_fn)
     return radiance, jnp.isfinite(t)
@@ -174,11 +177,7 @@ def render_geometry_sharded(scene, cfg: RenderConfig, light_pos, mesh,
     cam = cfg.camera
     o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-    R = o.shape[0]
-    pad = (-R) % n
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    o, d, R = pad_rays(o, d, n)
     shard = shard_geometry(scene, n)
     tables = strip_scene_tables(scene)
 
@@ -216,11 +215,7 @@ def render_composed(scene, cfg: RenderConfig, light_pos, mesh,
     cam = cfg.camera
     o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-    R = o.shape[0]
-    pad = (-R) % (n_dp * n_gp)
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    o, d, R = pad_rays(o, d, n_dp * n_gp)
     shard = shard_geometry(scene, n_gp)
     tables = strip_scene_tables(scene)
 

@@ -52,15 +52,7 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(devs, axis_names)
 
 
-def _pad_rays(o: jnp.ndarray, d: jnp.ndarray, multiple: int):
-    """Pad the flat ray axis to a device multiple (static; pads with the last
-    ray so padded lanes do harmless duplicate work)."""
-    R = o.shape[0]
-    pad = (-R) % multiple
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], axis=0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], axis=0)
-    return o, d, R
+from ..utils import pad_rays as _pad_rays
 
 
 def render_radiance_sharded(prep_or_scene, cfg: RenderConfig, light_pos,

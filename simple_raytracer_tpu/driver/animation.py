@@ -53,17 +53,12 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
                      frame_axis: str = "pp") -> list:
     """Render the turntable sweep for a catalog scene.  Returns the list of
     written file paths."""
+    from ..utils.metrics import Metrics
     builder = catalog.CATALOG[scene_name]
     angles = sweep_angles(anim)
     written = []
-    log = open(metrics_path, "a") if metrics_path else None
-
-    def emit(rec):
-        line = json.dumps(rec)
-        print(line, flush=True)
-        if log:
-            log.write(line + "\n")
-            log.flush()
+    metrics = Metrics(metrics_path)
+    emit = lambda rec: metrics.emit(**rec)
 
     if world_space:
         sm, _, light = builder(root, 0.0, bake_view=False)
@@ -111,8 +106,7 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
             written.append(path)
             emit({"event": "frame", "angle": float(a),
                   "ms": round(dt * 1e3, 2), "path": path})
-    if log:
-        log.close()
+    metrics.close()
     return written
 
 

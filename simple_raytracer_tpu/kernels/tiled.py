@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from ..ops import intersect as isect
 from ..render import integrator
+from ..utils import pad_rays
 
 F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
 
@@ -98,12 +99,8 @@ def tile_permutation(width: int, height: int, tile_px: int):
 def ray_tile_features(o: jnp.ndarray, d: jnp.ndarray, tile: int):
     """Flat rays [R,3] -> (F [n_tiles, tile, F_DIM], n_tiles, R).  Pads R up
     with the last ray (harmless duplicate work)."""
-    R = o.shape[0]
-    n = -(-R // tile)
-    pad = n * tile - R
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    o, d, R = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
     F = isect.ray_features(o, d)                         # [Rp, 10]
     F = jnp.concatenate(
         [F, jnp.zeros((F.shape[0], F_DIM - 10), F.dtype)], axis=-1)
@@ -169,12 +166,8 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
 
 def _visibility(o, d, tile, block_min, block_max):
     """Shared conservative (tile, block) visibility mask [n, NB]."""
-    R = o.shape[0]
-    n = -(-R // tile)
-    pad = n * tile - R
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
+    o, d, _ = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
     ot = o.reshape(n, tile, 3)
     dt = d.reshape(n, tile, 3)
     omin, omax = ot.min(1), ot.max(1)
@@ -300,8 +293,9 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
     idx_ref[0] = best_i
 
 
-def _anyhit_kernel(block: int, eps: float, plan_ref, F_ref, self_ref,
-                   G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g, sem_o):
+def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
+                   self_ref, G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g,
+                   sem_o):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
@@ -348,8 +342,10 @@ def _anyhit_kernel(block: int, eps: float, plan_ref, F_ref, self_ref,
         o_dma(slot, k).wait()
         t = _mt_quad(F, gbuf[slot], B, eps)
         other = obuf[slot][None, :] != self_obj          # [TILE_R, B]
-        occ = jnp.max(jnp.where(jnp.isfinite(t) & other, 1.0, 0.0), axis=1,
-                      keepdims=True)
+        occm = jnp.isfinite(t) & other
+        if not no_max_t:
+            occm = occm & (t <= 1.0)
+        occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
         # carry f32, not bool: Mosaic cannot legalize i1 loop carries
         found = jnp.maximum(found, occ)
         return k + 1, found, jnp.min(found) > 0.0
@@ -440,9 +436,10 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "block", "eps", "no_max_t"))
 def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
-                 tile: int, block: int, eps: float):
+                 tile: int, block: int, eps: float, no_max_t: bool = True):
     """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
     -> found [n, tile] bool."""
     n = F.shape[0]
@@ -472,7 +469,7 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
             ],
         )
         (found,) = pl.pallas_call(
-            functools.partial(_anyhit_kernel, block, eps),
+            functools.partial(_anyhit_kernel, block, eps, no_max_t),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32)],
             interpret=_interpret(),
@@ -513,7 +510,8 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float,
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
-def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64):
+def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
+                    no_max_t: bool = True):
     block = prep.block_size
     Gt = prep.gram
     obj_blocks = prep.obj_blocks
@@ -528,7 +526,7 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64):
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
         found = tiled_anyhit(F, so.reshape(n, tile), plan, Gt,
-                             obj_blocks, tile, block, eps)
+                             obj_blocks, tile, block, eps, no_max_t)
         return found.reshape(-1)[:R]
 
     return shadow
@@ -539,7 +537,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     tile = cfg.tile_px * cfg.tile_px
     t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps,
                             cfg.cull_maxv)
-    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv) \
+    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv,
+                                cfg.light.shadow_no_max_t) \
         if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
                                 tri_idx, light_pos, shadow_fn)

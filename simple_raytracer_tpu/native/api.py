@@ -52,13 +52,14 @@ def obj_parse_native(path: str):
     normals = np.zeros((max(nn, 1), 3), np.float32)
     faces = np.zeros((max(nf, 1), 9), np.int32)
     face_mtl = np.zeros((max(nf, 1),), np.int32)
-    buf = bytes(mb)
+    import ctypes
+    buf = ctypes.create_string_buffer(mb)
     got = lib.obj_parse(path.encode(), positions, texcoords, normals, faces,
                         face_mtl, buf, mb)
     if got < 0:
         return None
     assert got == nf, (got, nf)
-    names = buf.split(b"\x00", 1)[0].decode(errors="replace")
+    names = buf.raw.split(b"\x00", 1)[0].decode(errors="replace")
     usemtl = names.split("\n")[:-1] if names else []
     return (positions[:nv], texcoords[:nt], normals[:nn],
             faces[:nf].reshape(nf, 3, 3), face_mtl[:nf], usemtl)

@@ -60,7 +60,8 @@ def phong(normal: jnp.ndarray, point: jnp.ndarray, ray_dir: jnp.ndarray,
           light_pos: jnp.ndarray, light_color: jnp.ndarray,
           obj_color: jnp.ndarray, ambient_strength: jnp.ndarray,
           specular_strength: jnp.ndarray, shininess: jnp.ndarray,
-          double_sided: bool = True) -> jnp.ndarray:
+          double_sided: bool = True,
+          specular_nl: bool = True) -> jnp.ndarray:
     """Phong illumination (simple_raytracer.cpp:144-200).
 
     Reference quirks reproduced:
@@ -78,7 +79,8 @@ def phong(normal: jnp.ndarray, point: jnp.ndarray, ray_dir: jnp.ndarray,
     v = -ray_dir / jnp.linalg.norm(ray_dir, axis=-1, keepdims=True)
     r = reflect(-l, normal)
     rv = jnp.maximum(jnp.sum(r * v, axis=-1, keepdims=True), 0.0)
-    specular = (light_color * specular_strength[..., None] * nl *
+    nl_factor = nl if specular_nl else 1.0      # :196 quirk, toggleable
+    specular = (light_color * specular_strength[..., None] * nl_factor *
                 jnp.power(rv, shininess[..., None]))
     return diffuse + specular + ambient
 

@@ -107,7 +107,8 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
         lpos = jnp.broadcast_to(samples[s], point.shape)
         c = sh.phong(normal, point, direction, lpos, light_color, color_in,
                      ambient, specular, shininess,
-                     double_sided=scfg.double_sided_diffuse)
+                     double_sided=scfg.double_sided_diffuse,
+                     specular_nl=scfg.specular_nl_factor)
         if shadowed_all is not None:
             c = jnp.where(shadowed_all[s][..., None], c / lcfg.shadow_dim,
                           c)                                          # :369
@@ -134,6 +135,10 @@ def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
     Returns [R, 3] tone-mapped radiance in [0,1] (pre-quantization); misses
     hold garbage — mask with ``t < inf`` downstream.
     """
+    if scene.verts.shape[0] == 0 or scene.obj_color.shape[0] == 0:
+        # empty scene (missing-OBJ soft failure): nothing to shade; the hit
+        # mask is all-False so finalize_image paints pure background
+        return jnp.zeros_like(origin)
     record = gather_hit_records(scene, tri_idx)
     return shade_records(scene, cfg, record, origin, direction, t, light_pos,
                          shadow_fn)

@@ -26,6 +26,12 @@ def brute_force_hits(scene, origin: jnp.ndarray, direction: jnp.ndarray,
                      eps: float = 1e-12, chunk: int = 0):
     """Nearest hit of flat rays [R,3] against ALL triangles. Returns (t, idx)."""
     verts = scene.verts_cart()
+    if verts.shape[0] == 0:
+        # empty scene (missing-OBJ soft failure, Object.cpp:35-39): every ray
+        # misses and the frame becomes pure background
+        R = origin.shape[0]
+        return (jnp.full((R,), jnp.inf, origin.dtype),
+                jnp.full((R,), -1, jnp.int32))
 
     def hits(o, d):
         ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
@@ -47,21 +53,29 @@ def brute_force_hits(scene, origin: jnp.ndarray, direction: jnp.ndarray,
     return hits(origin, direction)
 
 
-def brute_force_shadow(scene, eps: float = 1e-12):
+def brute_force_shadow(scene, eps: float = 1e-12, no_max_t: bool = True):
     """Shadow predicate: any triangle of any OTHER object between... anywhere.
 
     Reference semantics (simple_raytracer.cpp:321-342): shadow ray origin =
     hit point, direction = lightPos - hitPoint (unnormalized); ANY valid MT hit
     (t >= 0, no max-t!) on a different object means shadow.
+    ``no_max_t=False`` is the sane-physics toggle (LightConfig.shadow_no_max_t).
     """
     verts = scene.verts_cart()
 
     def shadow_fn(point, light, self_obj):
+        if verts.shape[0] == 0:
+            return jnp.zeros(point.shape[:1], jnp.bool_)
         d = light - point
         ts = isect.moller_trumbore(point[:, None, :], d[:, None, :],
                                    verts[None, :, :, :], eps)   # [R, T]
         other = scene.tri_obj[None, :] != self_obj[:, None]
-        return jnp.any(jnp.isfinite(ts) & other, axis=-1)
+        occ = jnp.isfinite(ts) & other
+        if not no_max_t:
+            # non-reference mode: occluders BEYOND the light (t > 1 on the
+            # unnormalized light-point segment) do not shadow
+            occ = occ & (ts <= 1.0)
+        return jnp.any(occ, axis=-1)
 
     return shadow_fn
 
@@ -72,7 +86,8 @@ def render_flat(scene, cfg: RenderConfig, origin, direction, light_pos,
     if hit_fn is None:
         hit_fn = functools.partial(brute_force_hits, eps=cfg.mt_eps)
     if shadow_fn is None and cfg.light.enable_shadows:
-        shadow_fn = brute_force_shadow(scene, eps=cfg.mt_eps)
+        shadow_fn = brute_force_shadow(scene, eps=cfg.mt_eps,
+                                       no_max_t=cfg.light.shadow_no_max_t)
     t, tri_idx = hit_fn(scene, origin, direction)
     radiance = integrator.shade(scene, cfg, origin, direction, t, tri_idx,
                                 light_pos, shadow_fn)
@@ -89,11 +104,9 @@ def _map_ray_chunks(body, o, d, chunk: int):
     R = o.shape[0]
     if chunk <= 0 or R <= chunk:
         return body(o, d)
-    n = -(-R // chunk)
-    pad = n * chunk - R
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], axis=0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], axis=0)
+    from ..utils import pad_rays
+    o, d, _ = pad_rays(o, d, chunk)
+    n = o.shape[0] // chunk
     rad, hit = jax.lax.map(
         lambda od: body(od[0], od[1]),
         (o.reshape(n, chunk, 3), d.reshape(n, chunk, 3)))

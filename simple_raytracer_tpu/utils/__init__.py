@@ -1,3 +1,3 @@
-from .vma import match_vma
+from .vma import match_vma, pad_rays
 
-__all__ = ["match_vma"]
+__all__ = ["match_vma", "pad_rays"]

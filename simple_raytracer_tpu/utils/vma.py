@@ -23,3 +23,15 @@ def match_vma(x, ref):
     if not vma:
         return x
     return jax.lax.pcast(x, vma, to="varying")
+
+
+def pad_rays(o, d, multiple: int):
+    """Pad the flat ray axis to a multiple (duplicating the last ray, which
+    does harmless duplicate work).  Returns (o, d, original_R)."""
+    import jax.numpy as jnp
+    R = o.shape[0]
+    pad = (-R) % multiple
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], axis=0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], axis=0)
+    return o, d, R

@@ -145,3 +145,36 @@ def test_bvh_bunny_small_render():
     img = np.asarray(render(scene, cfg, jnp.array([50.0, -30.0, -20.0])))
     hit_frac = np.mean(np.any(img != np.array([173, 216, 230]), axis=-1))
     assert hit_frac > 0.02
+
+
+def test_sah_split_hits_match_bruteforce(rng):
+    """BVHConfig.split='sah' builds a different topology with the same
+    candidate-completeness guarantee."""
+    from simple_raytracer_tpu.accel.bvh import build_bvh
+    verts = rng.standard_normal((300, 3, 3)).astype(np.float32) * 3.0
+    b = build_bvh(verts, 8, split="sah")
+    assert sorted(b.perm.tolist()) == list(range(300))
+    assert (b.leaf_count[b.leaf_count > 0] <= 8).all()
+
+    from simple_raytracer_tpu.config import default_config, BVHConfig
+    from simple_raytracer_tpu.accel.prepared import prepare
+    from simple_raytracer_tpu.accel.traverse import bvh_hits
+    from simple_raytracer_tpu.render.renderer import brute_force_hits
+    from simple_raytracer_tpu.scene.scene import SceneManager
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("sphere.obj"), key="s")
+    import simple_raytracer_tpu.scene.transforms as T
+    sm.transform_triangles("s", T.translate((0.0, 2.0, 25.0)))
+    scene = sm.build()
+    cfg = default_config().replace(mode="bvh", bvh=BVHConfig(split="sah"))
+    prep = prepare(scene, cfg)
+    from simple_raytracer_tpu.ops.camera import primary_rays
+    o, d = primary_rays(32, 24)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t_ref, _ = jax.jit(lambda s, o, d: brute_force_hits(s, o, d))(
+        prep.scene, o, d)
+    t_sah, _ = jax.jit(lambda p, o, d: bvh_hits(p, o, d))(prep, o, d)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(np.asarray(t_ref)), np.asarray(t_ref), 0),
+        np.where(np.isfinite(np.asarray(t_sah)), np.asarray(t_sah), 0),
+        rtol=1e-5)

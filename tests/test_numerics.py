@@ -89,3 +89,61 @@ def test_render_under_debug_nans():
         rad, hit = jax.jit(lambda s, l: render_radiance(s, cfg, l))(
             jax.device_put(scene), LIGHT)
         np.asarray(rad)
+
+
+def test_empty_scene_renders_background():
+    """Missing-OBJ soft failure (Object.cpp:35-39): an empty scene renders a
+    pure background frame instead of crashing."""
+    from simple_raytracer_tpu.scene.scene import SceneManager
+    sm = SceneManager(root="/tmp/nonexistent")
+    sm.load_obj_file("/tmp/nonexistent/missing.obj", key="gone")
+    scene = sm.build()
+    cfg = default_config().replace(camera=CameraConfig(width=16, height=12))
+    img = np.asarray(render(scene, cfg, LIGHT))
+    assert (img == np.array([173, 216, 230])).all()
+
+
+def test_shadow_max_t_toggle():
+    """shadow_no_max_t=True (reference quirk): an occluder BEYOND the light
+    still shadows; False: it does not."""
+    from simple_raytracer_tpu.config import LightConfig
+    from simple_raytracer_tpu.scene.scene import SceneManager
+    sm = SceneManager(root="/root/reference")
+    # target plane at z=40
+    sm.load_obj_file(reference_asset("cube.obj"), key="plane")
+    sm.set_color("plane", (0.8, 0.8, 0.8))
+    sm.transform_triangles("plane", T.scale(10.0, 10.0, 1.0))
+    sm.transform_triangles("plane", T.translate((0.0, 0.0, 40.0)))
+    # occluder BEHIND the light as seen from the plane: light is at z=10,
+    # occluder at z=-20 (farther along the plane->light direction)
+    sm.load_obj_file(reference_asset("cube.obj"), key="occ")
+    sm.set_color("occ", (0.1, 0.1, 0.9))
+    sm.transform_triangles("occ", T.scale(30.0, 30.0, 1.0))
+    sm.transform_triangles("occ", T.translate((0.0, 0.0, -20.0)))
+    scene = sm.build()
+    light = jnp.array([0.0, 0.0, 10.0], jnp.float32)
+    cam = CameraConfig(width=24, height=24)
+    cfg_quirk = default_config().replace(
+        camera=cam, light=LightConfig(shadow_no_max_t=True))
+    cfg_sane = default_config().replace(
+        camera=cam, light=LightConfig(shadow_no_max_t=False))
+    img_q = np.asarray(render(scene, cfg_quirk, light))
+    img_s = np.asarray(render(scene, cfg_sane, light))
+    # quirk mode: beyond-light occluder dims the plane; sane mode: no shadow
+    assert (img_q != img_s).any()
+    assert img_s.sum() > img_q.sum()
+
+
+def test_specular_nl_toggle():
+    from simple_raytracer_tpu.scene.scene import SceneManager
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("sphere.obj"), key="s")
+    sm.transform_triangles("s", T.translate((0.0, 0.0, 20.0)))
+    scene = sm.build()
+    cam = CameraConfig(width=48, height=48)
+    cfg_on = default_config().replace(camera=cam)
+    cfg_off = default_config().replace(
+        camera=cam, shading=ShadingConfig(specular_nl_factor=False))
+    img_on = np.asarray(render(scene, cfg_on, LIGHT))
+    img_off = np.asarray(render(scene, cfg_off, LIGHT))
+    assert (img_on != img_off).any()
