@@ -50,9 +50,13 @@ def run_once(mode: str, width: int, height: int, frames: int,
         T.scale(50.0, 50.0, 50.0)
     sm.transform_triangles("bunny", m)
     scene = sm.build()
+    # focal zoomed so the bunny fills most of the frame: rays/s must measure
+    # full-frame WORK, not empty-tile overhead (bunny at 50x spans ~±4 units
+    # at z=60; focal 6000 -> ~±450 px of a 1080-tall frame)
+    focal = 6000.0 * height / 1080.0
     cfg = default_config().replace(
         mode=mode,
-        camera=CameraConfig(width=width, height=height),
+        camera=CameraConfig(width=width, height=height, focal=focal),
         light=LightConfig(enable_shadows=shadows),
         bvh=BVHConfig(split="sah"))   # tighter blocks -> 25% fewer visits
     prep = prepare(scene, cfg) if mode != "bruteforce" else scene
@@ -72,7 +76,7 @@ def run_once(mode: str, width: int, height: int, frames: int,
     print(f"# compile+first frame: {time.time()-t0:.2f}s", file=sys.stderr)
     bg = np.all(img == np.array([173, 216, 230]), axis=-1)
     frac = float((~bg).mean())
-    assert 0.005 < frac < 0.99, f"implausible bunny coverage {frac}"
+    assert 0.05 < frac < 0.99, f"implausible bunny coverage {frac}"
 
     times = []
     for _ in range(frames):

@@ -96,8 +96,13 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     shadowed_all = None
     if shadow_fn is not None and lcfg.enable_shadows:
         # ONE batched occlusion query for all S light samples (S separate
-        # launches would re-cull and re-walk the scene per sample)
-        pts = jnp.broadcast_to(point[None], (S, R, 3)).reshape(S * R, 3)
+        # launches would re-cull and re-walk the scene per sample).
+        # Miss rays have point = o + inf*d; their shade is discarded, but an
+        # inf origin would poison tile-level cull bounds in the Pallas
+        # backend (one miss ray could disable shadows for its whole tile) —
+        # pin them to the origin instead.
+        point_safe = jnp.where(jnp.isfinite(t)[..., None], point, 0.0)
+        pts = jnp.broadcast_to(point_safe[None], (S, R, 3)).reshape(S * R, 3)
         lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
         objs = jnp.broadcast_to(obj[None], (S, R)).reshape(S * R)
         shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)

@@ -129,3 +129,27 @@ def test_tile_chunking_matches_unchunked(monkeypatch):
         lambda p, o, d: tiled.tiled_hits(p, o, d, 256, 1e-12))(prep, o, d)
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_ch))
     np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_ch))
+
+
+def test_mixed_hit_miss_tiles_keep_shadows():
+    """A miss ray's point = o + inf*d must not poison its tile's shadow cull
+    bounds (integrator pins miss points to the origin before the occlusion
+    query)."""
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("cube.obj"), key="ground")
+    sm.set_color("ground", (0.1, 0.8, 0.2))
+    sm.transform_triangles("ground", T.scale(8.0, 1.0, 8.0))
+    sm.transform_triangles("ground", T.translate((0.0, 6.0, 60.0)))
+    sm.load_obj_file(reference_asset("sphere.obj"), key="s")
+    sm.set_color("s", (0.9, 0.3, 0.2))
+    sm.transform_triangles("s", T.scale(2.5, 2.5, 2.5))
+    sm.transform_triangles("s", T.translate((0.0, 1.0, 60.0)))
+    scene = sm.build()
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+    cam = CameraConfig(width=96, height=64)   # many mixed hit/miss tiles
+    img_bf = np.asarray(render(scene, default_config().replace(
+        mode="bruteforce", camera=cam), light))
+    img_tl = np.asarray(render(scene, default_config().replace(
+        mode="tiled", camera=cam), light))
+    same = (img_bf == img_tl).all(axis=-1)
+    assert same.mean() > 0.995, same.mean()
