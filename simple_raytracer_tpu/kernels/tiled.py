@@ -47,6 +47,11 @@ F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
 # Debug escape hatch: SRT_TILED_SYNC=1 disables the double-buffered DMA
 # overlap (each block fetch completes before compute starts).
 _SYNC_DMA = bool(_os.environ.get("SRT_TILED_SYNC"))
+# MXU precision for the MT contraction (HIGHEST=safest, HIGH=3-pass bf16).
+_PRECISION = {"default": jax.lax.Precision.DEFAULT,
+              "high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}[
+    _os.environ.get("SRT_MT_PRECISION", "highest").lower()]
 
 
 def _interpret() -> bool:
@@ -155,10 +160,13 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     list_cnt = visible.sum(axis=-1).astype(jnp.int32)
     maxv = min(maxv, PLAN_MAXV)
     use_list = (list_cnt <= maxv).astype(jnp.int32)
-    order = jnp.argsort(~visible, axis=-1, stable=True).astype(jnp.int32)
-    ids = order[:, :PLAN_MAXV]
-    if ids.shape[1] < PLAN_MAXV:
-        ids = jnp.pad(ids, ((0, 0), (0, PLAN_MAXV - ids.shape[1])))
+    # compact visible block ids by scatter (argsort would be a full per-row
+    # sort — hundreds of ms on TPU at 8k tiles x 500 blocks)
+    pos = jnp.cumsum(visible, axis=-1) - 1                # [n, NB]
+    slot = jnp.where(visible & (pos < PLAN_MAXV), pos, PLAN_MAXV)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], slot.shape)
+    ids = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
+        jnp.broadcast_to(idx[None, :], slot.shape), mode="drop")
     aux = jnp.stack([lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list],
                     axis=-1)
     return jnp.concatenate([aux, ids], axis=-1)       # [n, PLAN_W]
@@ -208,7 +216,7 @@ def _mt_quad(F, G, block, eps):
     # Moller-Trumbore's cancellations (det/u/v/t go through differences of
     # large products); 3-pass bf16 recovers ~f32 accuracy.
     quad = jnp.dot(F, G, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)      # [TILE_R, 4B]
+                   precision=_PRECISION)                     # [TILE_R, 4B]
     B = block
     det = quad[:, :B]
     u_num = quad[:, B:2 * B]
@@ -246,6 +254,34 @@ def _tile_plan(plan_ref, i):
     return cnt, bid
 
 
+KB = 8              # blocks batched per matmul: one [TILE_R,16]@[16,KB*4B]
+                    # dot replaces KB small ones (small-K matmuls on the MXU
+                    # are latency-bound, measured ~2us each regardless of N)
+
+
+def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
+    """Start the KB block fetches of super-step j into gbuf[slot] columns.
+
+    Unconditional (tail blocks clamp to a valid id and are masked in the
+    epilogue): a @pl.when around every DMA serializes the scalar core.
+    """
+    nb = G_hbm.shape[0]
+    for i in range(KB):
+        pltpu.make_async_copy(
+            G_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
+            gbuf.at[slot, :, pl.ds(i * 4 * B, 4 * B)],
+            sem_g.at[slot, i]).start()
+
+
+def _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
+    nb = G_hbm.shape[0]
+    for i in range(KB):
+        pltpu.make_async_copy(
+            G_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
+            gbuf.at[slot, :, pl.ds(i * 4 * B, 4 * B)],
+            sem_g.at[slot, i]).wait()
+
+
 def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
@@ -253,42 +289,51 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
-
-    def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[bid(k)], gbuf.at[slot],
-                                     sem_g.at[slot])
+    ns = (cnt + KB - 1) // KB                            # super-steps
 
     if not _SYNC_DMA:
         @pl.when(cnt > 0)
         def _():
-            g_dma(0, 0).start()
+            _super_dma(G_hbm, gbuf, sem_g, bid, 0, 0, cnt, B)
 
-    def body(k, carry):
+    def body(j, carry):
         best_t, best_i = carry
-        slot = k % 2 if not _SYNC_DMA else 0
+        slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            g_dma(0, k).start()
+            _super_dma(G_hbm, gbuf, sem_g, bid, 0, j, cnt, B)
         else:
-            @pl.when(k + 1 < cnt)
+            @pl.when(j + 1 < ns)
             def _():
-                g_dma((k + 1) % 2, k + 1).start()
+                _super_dma(G_hbm, gbuf, sem_g, bid, (j + 1) % 2, j + 1, cnt, B)
 
-        g_dma(slot, k).wait()
-        t = _mt_quad(F, gbuf[slot], B, eps)
-        # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic cannot
-        # reshape across the sublane/lane boundary
-        bt = jnp.min(t, axis=1, keepdims=True)               # [TILE_R, 1]
+        _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
+                       precision=_PRECISION)             # [TILE_R, KB*4B]
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, B), 1)
-        bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
-        better = bt < best_t
-        best_t = jnp.where(better, bt, best_t)
-        best_i = jnp.where(better & (bj < B), bid(k) * B + bj, best_i)
+        for kk in range(KB):
+            k = j * KB + kk
+            q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
+            det = q[:, :B]
+            inv = 1.0 / det
+            u = q[:, B:2 * B] * inv
+            v = q[:, 2 * B:3 * B] * inv
+            t = q[:, 3 * B:] * inv
+            valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
+                    (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & (k < cnt)
+            t = jnp.where(valid, t, jnp.inf)
+            # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
+            # cannot reshape across the sublane/lane boundary
+            bt = jnp.min(t, axis=1, keepdims=True)       # [TILE_R, 1]
+            bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
+            better = bt < best_t
+            best_t = jnp.where(better, bt, best_t)
+            best_i = jnp.where(better & (bj < B), bid(k) * B + bj, best_i)
         return best_t, best_i
 
     init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
             jnp.full((TILE_R, 1), -1, jnp.int32))
-    best_t, best_i = jax.lax.fori_loop(0, cnt, body, init)
+    best_t, best_i = jax.lax.fori_loop(0, ns, body, init)
     t_ref[0] = best_t
     idx_ref[0] = best_i
 
@@ -305,63 +350,79 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
     B = block
 
-    def g_dma(slot, k):
-        return pltpu.make_async_copy(G_hbm.at[bid(k)], gbuf.at[slot],
-                                     sem_g.at[slot])
+    ns = (cnt + KB - 1) // KB
 
-    def o_dma(slot, k):
-        return pltpu.make_async_copy(obj_hbm.at[bid(k)], obuf.at[slot],
-                                     sem_o.at[slot])
+    def o_super_dma(slot, j, wait=False):
+        nb = obj_hbm.shape[0]
+        for i in range(KB):
+            cp = pltpu.make_async_copy(
+                obj_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
+                obuf.at[slot, pl.ds(i * B, B)], sem_o.at[slot, i])
+            cp.wait() if wait else cp.start()
+
+    def start_super(slot, j):
+        _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        o_super_dma(slot, j)
+
+    def wait_super(slot, j):
+        _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        o_super_dma(slot, j, wait=True)
 
     if not _SYNC_DMA:
         @pl.when(cnt > 0)
         def _():
-            g_dma(0, 0).start()
-            o_dma(0, 0).start()
+            start_super(0, 0)
 
     def cond(state):
-        k, found, done = state
+        j, found, done = state
         # early exit once every ray in the tile is occluded — shadow tiles
         # saturate fast, and any further blocks are wasted DMA + matmul
-        return (k < cnt) & ~done
+        return (j < ns) & ~done
 
     def body(state):
-        k, found, _ = state
-        slot = k % 2 if not _SYNC_DMA else 0
+        j, found, _ = state
+        slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            g_dma(0, k).start()
-            o_dma(0, k).start()
+            start_super(0, j)
         else:
-            @pl.when(k + 1 < cnt)
+            @pl.when(j + 1 < ns)
             def _():
-                g_dma((k + 1) % 2, k + 1).start()
-                o_dma((k + 1) % 2, k + 1).start()
+                start_super((j + 1) % 2, j + 1)
 
-        g_dma(slot, k).wait()
-        o_dma(slot, k).wait()
-        t = _mt_quad(F, gbuf[slot], B, eps)
-        other = obuf[slot][None, :] != self_obj          # [TILE_R, B]
-        occm = jnp.isfinite(t) & other
-        if not no_max_t:
-            occm = occm & (t <= 1.0)
-        occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
-        # carry f32, not bool: Mosaic cannot legalize i1 loop carries
-        found = jnp.maximum(found, occ)
-        return k + 1, found, jnp.min(found) > 0.0
+        wait_super(slot, j)
+        quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
+                       precision=_PRECISION)             # [TILE_R, KB*4B]
+        for kk in range(KB):
+            k = j * KB + kk
+            q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
+            det = q[:, :B]
+            inv = 1.0 / det
+            u = q[:, B:2 * B] * inv
+            v = q[:, 2 * B:3 * B] * inv
+            t = q[:, 3 * B:] * inv
+            valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
+                    (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & (k < cnt)
+            other = obuf[slot][None, kk * B:(kk + 1) * B] != self_obj
+            occm = valid & other
+            if not no_max_t:
+                occm = occm & (t <= 1.0)
+            occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
+            # carry f32, not bool: Mosaic cannot legalize i1 loop carries
+            found = jnp.maximum(found, occ)
+        return j + 1, found, jnp.min(found) > 0.0
 
     init = (jnp.int32(0), jnp.zeros((TILE_R, 1), jnp.float32),
             jnp.bool_(False))
-    k_end, found, _ = jax.lax.while_loop(cond, body, init)
+    j_end, found, _ = jax.lax.while_loop(cond, body, init)
 
     if not _SYNC_DMA:
-        # early exit leaves at most one prefetched DMA in flight (started for
-        # index k_end when iteration k_end-1 ran); drain it so the semaphores
-        # are clean for the next grid step
-        @pl.when(k_end < cnt)
+        # early exit leaves at most one prefetched super-step in flight
+        # (started for j_end when iteration j_end-1 ran); drain it so the
+        # semaphores are clean for the next grid step
+        @pl.when(j_end < ns)
         def _():
-            g_dma(k_end % 2, k_end).wait()
-            o_dma(k_end % 2, k_end).wait()
+            wait_super(j_end % 2, j_end)
 
     hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
@@ -418,8 +479,8 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, F_DIM, 4 * block * KB), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KB)),
             ],
         )
         return pl.pallas_call(
@@ -462,10 +523,10 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block), jnp.float32),
-                pltpu.VMEM((2, block), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, F_DIM, 4 * block * KB), jnp.float32),
+                pltpu.VMEM((2, block * KB), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KB)),
+                pltpu.SemaphoreType.DMA((2, KB)),
             ],
         )
         (found,) = pl.pallas_call(
