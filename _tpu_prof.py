@@ -58,3 +58,18 @@ def render_full(prep, i):
     rad, hit = render_radiance(prep, cfg, light + i*1e-4)
     return jnp.where(hit[...,None], rad, 0.).sum()
 timeit("render-shadow", render_full, prep)
+
+# 5: hits + record gathers only
+from simple_raytracer_tpu.render import integrator as integ
+def hits_gather(prep, i):
+    t, idx = tiled.tiled_hits(prep, operm + i*1e-4, dperm, 256, 1e-12)
+    rec = integ.gather_hit_records(prep.scene, idx)
+    return sum(jnp.sum(v.astype(jnp.float32)) for v in rec.values()) + jnp.where(jnp.isfinite(t), t, 0.).sum()
+timeit("hits+gather", hits_gather, prep)
+
+# 6: F features + cull + permutation only (no kernel)
+def prep_only(prep, i):
+    F, n, R = tiled.ray_tile_features(operm + i*1e-4, dperm, 256)
+    plan = tiled._cull(operm + i*1e-4, dperm, 256, prep, 64)
+    return F.sum() + plan.astype(jnp.float32).sum()
+timeit("F+cull", prep_only, prep)

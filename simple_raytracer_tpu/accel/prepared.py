@@ -101,7 +101,8 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         scene_np["verts"] = np.concatenate(
             [scene_np["verts"],
              np.broadcast_to(last_v, (pad, 3, 4)).copy()], axis=0)
-        for name, fill in (("vnormals", 0.0), ("uvs", 0.0), ("tri_color", 1.0)):
+        for name, fill in (("vnormals", 0.0), ("tri_normal", 0.0),
+                           ("uvs", 0.0), ("tri_color", 1.0)):
             a = scene_np[name]
             scene_np[name] = np.concatenate(
                 [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)

@@ -154,6 +154,7 @@ def strip_scene_tables(scene):
     return scene.replace(
         verts=np.zeros((0, 3, 4), np.float32),
         vnormals=np.zeros((0, 3, 3), np.float32),
+        tri_normal=np.zeros((0, 3), np.float32),
         uvs=np.zeros((0, 3, 2), np.float32),
         tri_color=np.zeros((0, 3), np.float32),
         tri_tex=np.zeros((0,), np.int32),

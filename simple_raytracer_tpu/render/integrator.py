@@ -35,21 +35,34 @@ def light_sample_positions(light_pos, num_samples: int, jitter_step: float):
     return light_pos[None, :] + jnp.asarray(offsets)
 
 
-def gather_hit_records(scene, tri_idx: jnp.ndarray) -> dict:
+def gather_hit_records(scene, tri_idx: jnp.ndarray, cfg=None) -> dict:
     """Gather per-ray triangle data from the scene by global triangle index.
 
     The record dict is the unit the shading core consumes; the ring
     geometry-sharded renderer (dist/ring.py) builds the same records by
     carrying them around the device ring instead of gathering.
+
+    Gathers are the expensive op on TPU (~100 ns/row), so only what the
+    config actually uses is fetched: flat-shaded untextured scenes (the
+    common case — e.g. the bunny) need just the precomputed 3-float normal
+    and two id columns instead of 9 vertices + 9 vertex normals + 6 UVs.
     """
     idx = jnp.maximum(tri_idx, 0)
-    return {
-        "tri_v": scene.verts_cart()[idx],     # [R, 3, 3]
-        "vnormals": scene.vnormals[idx],      # [R, 3, 3]
-        "uvs": scene.uvs[idx],                # [R, 3, 2]
+    smooth = bool(cfg.shading.smooth_normals) if cfg is not None else True
+    textured = scene.tex_data.shape[0] > 1          # static: atlas non-dummy
+    rec = {
         "obj": scene.tri_obj[idx],            # [R]
         "tex_id": scene.tri_tex[idx],         # [R]
     }
+    if smooth or textured:
+        rec["tri_v"] = scene.verts_cart()[idx]     # [R, 3, 3] (barycentric)
+    if smooth:
+        rec["vnormals"] = scene.vnormals[idx]      # [R, 3, 3]
+    else:
+        rec["normal"] = scene.tri_normal[idx]      # [R, 3]
+    if textured:
+        rec["uvs"] = scene.uvs[idx]                # [R, 3, 2]
+    return rec
 
 
 def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
@@ -62,27 +75,36 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     texture atlas); all triangle-indexed data comes from ``record``.
     """
     scfg, lcfg = cfg.shading, cfg.light
-    tri_v = record["tri_v"]
     obj = jnp.maximum(record["obj"], 0)
     tex_id = record["tex_id"]
+    has_atlas = scene.tex_data.shape[0] > 1            # static
 
     point = origin + t[..., None] * direction          # :156, :351
+
+    bary = None
+    if (has_atlas and "uvs" in record) or scfg.smooth_normals:
+        bary = sh.barycentric(record["tri_v"], point)
 
     # Base color: object color, or texture fetch when textured (:348-361,
     # :437-443).  tri_color (vertex-0 sample) is only visible when a texture
     # name exists but the texel fetch is unavailable — reproduced via where.
-    bary = sh.barycentric(tri_v, point)
     base_color = scene.obj_color[obj]
-    textured = tex_id >= 0
-    texel = sh.interpolate_uv(record["uvs"], bary)
-    tex_rgb = sh.texture_fetch(scene.tex_data, scene.tex_offset,
-                               scene.tex_width, scene.tex_height, tex_id, texel)
-    color_in = jnp.where(textured[..., None], tex_rgb, base_color)
+    if has_atlas and "uvs" in record:
+        textured = tex_id >= 0
+        texel = sh.interpolate_uv(record["uvs"], bary)
+        tex_rgb = sh.texture_fetch(scene.tex_data, scene.tex_offset,
+                                   scene.tex_width, scene.tex_height,
+                                   tex_id, texel)
+        color_in = jnp.where(textured[..., None], tex_rgb, base_color)
+    else:
+        color_in = base_color
 
     if scfg.smooth_normals:
         normal = sh.smooth_normal(record["vnormals"], bary)
+    elif "normal" in record:
+        normal = record["normal"]                      # precomputed flat
     else:
-        normal = sh.flat_normal(tri_v)
+        normal = sh.flat_normal(record["tri_v"])
 
     ambient = scene.obj_ambient[obj]
     specular = scene.obj_specular[obj]
@@ -151,7 +173,7 @@ def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
         # empty scene (missing-OBJ soft failure): nothing to shade; the hit
         # mask is all-False so finalize_image paints pure background
         return jnp.zeros_like(origin)
-    record = gather_hit_records(scene, tri_idx)
+    record = gather_hit_records(scene, tri_idx, cfg)
     return shade_records(scene, cfg, record, origin, direction, t, light_pos,
                          shadow_fn)
 

@@ -37,6 +37,7 @@ class Scene:
 
     verts: jnp.ndarray        # [T, 3, 4] f32
     vnormals: jnp.ndarray     # [T, 3, 3] f32
+    tri_normal: jnp.ndarray   # [T, 3] f32 — precomputed flat geometric normal
     uvs: jnp.ndarray          # [T, 3, 2] f32 (baked texel coords)
     tri_color: jnp.ndarray    # [T, 3] f32
     tri_tex: jnp.ndarray      # [T] i32 (global texture id, -1 = none)
@@ -78,6 +79,7 @@ class Scene:
         """Permute the triangle axis (used to make BVH leaves contiguous)."""
         return self.replace(
             verts=self.verts[perm], vnormals=self.vnormals[perm],
+            tri_normal=self.tri_normal[perm],
             uvs=self.uvs[perm], tri_color=self.tri_color[perm],
             tri_tex=self.tri_tex[perm], tri_obj=self.tri_obj[perm])
 
@@ -195,6 +197,15 @@ class SceneManager:
             return np.concatenate(arrs, axis=0)
 
         verts = cat(vs, (0, 3, 4))
+        # flat geometric normals precomputed once (simple_raytracer.cpp:32-37
+        # is the ACTIVE normal path): shading gathers 3 floats per ray
+        # instead of 9 vertices + a cross product
+        vc = verts[..., :3] / verts[..., 3:4] if verts.shape[0] else verts[..., :3]
+        e1 = vc[:, 1] - vc[:, 0]
+        e2 = vc[:, 2] - vc[:, 0]
+        nrm = np.cross(e1, e2)
+        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        tri_normal = (nrm / np.maximum(ln, 1e-30)).astype(np.float32)
         # texture atlas
         datas, offs, ws, hs = [], [], [], []
         off = 0
@@ -218,6 +229,7 @@ class SceneManager:
         return Scene(
             verts=np.asarray(verts, np.float32),
             vnormals=np.asarray(cat(ns, (0, 3, 3)), np.float32),
+            tri_normal=tri_normal,
             uvs=np.asarray(cat(us, (0, 3, 2)), np.float32),
             tri_color=np.asarray(cat(tcs, (0, 3)), np.float32),
             tri_tex=np.asarray(cat(tts, (0,), np.int32), np.int32),
