@@ -126,7 +126,7 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     Returns (lo [n_tiles] i32, cnt [n_tiles] i32): the contiguous range
     [lo, lo+cnt) covering every visible block (cnt 0 when none).
     """
-    visible, n = _visibility(o, d, tile, block_min, block_max)
+    visible, _, n = _visibility(o, d, tile, block_min, block_max)
     NB = visible.shape[1]
     idx = jnp.arange(NB, dtype=jnp.int32)
     first = jnp.min(jnp.where(visible, idx, NB), axis=-1)     # [n]
@@ -149,7 +149,7 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     Returns (ids [n, maxv] i32, aux [n, 4] i32) with aux rows
     (lo, range_cnt, list_cnt, use_list).
     """
-    visible, n = _visibility(o, d, tile, block_min, block_max)
+    visible, tlo, n = _visibility(o, d, tile, block_min, block_max)
     NB = visible.shape[1]
     idx = jnp.arange(NB, dtype=jnp.int32)
     first = jnp.min(jnp.where(visible, idx, NB), axis=-1)
@@ -160,16 +160,40 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     list_cnt = visible.sum(axis=-1).astype(jnp.int32)
     maxv = min(maxv, PLAN_MAXV)
     use_list = (list_cnt <= maxv).astype(jnp.int32)
-    # compact visible block ids by scatter (argsort would be a full per-row
-    # sort — hundreds of ms on TPU at 8k tiles x 500 blocks)
-    pos = jnp.cumsum(visible, axis=-1) - 1                # [n, NB]
-    slot = jnp.where(visible & (pos < PLAN_MAXV), pos, PLAN_MAXV)
+
+    # order entries front-to-back: bucket each visible block by its
+    # conservative entry-t (relative to the tile's range), and pack the
+    # truncated 16-bit float bound so the kernel can stop once every ray's
+    # best hit beats the next entry's bound
+    tmin = jnp.min(jnp.where(visible, tlo, jnp.inf), axis=-1)     # [n]
+    tmax = jnp.max(jnp.where(visible, tlo, -jnp.inf), axis=-1)
+    tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+    qscale = jnp.maximum(tmax - tmin, 1e-20) / T_BUCKETS
+    qb = jnp.clip(((tlo - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
+                  0, T_BUCKETS - 1)
+    bound16 = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(jnp.maximum(tlo, 0.0), jnp.int32), 16)
+
+    # bucket-ordered compaction by scatter (argsort would be a per-row sort —
+    # hundreds of ms on TPU at 8k tiles x 500 blocks)
+    bucket_cnt = jnp.stack(
+        [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
+    base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
+    slot = jnp.full((n, NB), PLAN_MAXV, jnp.int32)
+    for b in range(T_BUCKETS):
+        mb = visible & (qb == b)
+        pos = jnp.cumsum(mb, axis=-1) - 1
+        slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
+    slot = jnp.where(slot < PLAN_MAXV, slot, PLAN_MAXV)
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], slot.shape)
-    ids = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
-        jnp.broadcast_to(idx[None, :], slot.shape), mode="drop")
-    aux = jnp.stack([lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list],
-                    axis=-1)
-    return jnp.concatenate([aux, ids], axis=-1)       # [n, PLAN_W]
+    packed = jnp.broadcast_to(idx[None, :], slot.shape) | (bound16 << 16)
+    entries = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
+        packed, mode="drop")
+    z = jnp.zeros_like(lo)
+    aux = jnp.stack(
+        [lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list,
+         z, z, z, z], axis=-1)
+    return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
 
 
 def _visibility(o, d, tile, block_min, block_max):
@@ -194,7 +218,8 @@ def _visibility(o, d, tile, block_min, block_max):
     tmax_ax = jnp.where(spans, INF, tmax_ax)
     t_lo = jnp.max(tmin_ax, axis=-1)
     t_hi = jnp.min(tmax_ax, axis=-1)
-    return (t_hi >= t_lo) & (t_hi >= 0.0), n
+    visible = (t_hi >= t_lo) & (t_hi >= 0.0)
+    return visible, jnp.maximum(t_lo, 0.0), n
 
 
 def _safe_div(a, b):
@@ -232,26 +257,40 @@ def _mt_quad(F, G, block, eps):
 
 
 PLAN_W = 128        # plan-table width: SMEM rows lane-pad to 128 anyway
-PLAN_AUX = 4        # cols 0-3: lo, range_cnt, list_cnt, use_list; 4..: ids
+# cols 0-7: lo, range_cnt, list_cnt, use_list, 0, 0, 0, 0;
+# cols 8..: packed block entries  id | (bound16 << 16), bound-ascending, where
+# bound16 = top 16 bits of the f32 conservative entry-t (IEEE ordering: for
+# non-negative floats, bit-pattern comparison == value comparison, and
+# truncation rounds the bound DOWN, keeping the break conservative).
+PLAN_AUX = 8
 PLAN_MAXV = PLAN_W - PLAN_AUX
+T_BUCKETS = 8
 
 
 def _tile_plan(plan_ref, i):
     """Per-tile work plan from the fused scalar-prefetch table [n, PLAN_W]:
-    block count and a k -> block-id mapping (exact list when it fit, covering
-    range else).  Fusing aux + ids into one 128-wide row costs nothing (SMEM
-    lane padding) and keeps exactly one prefetch operand."""
+    block count, a k -> block-id mapping (exact list when it fit, covering
+    range else), and a conservative entry-t lower bound per position (+inf
+    when unavailable).  Fusing aux + packed ids into one 128-wide row costs
+    nothing (SMEM lane padding) and keeps exactly one prefetch operand."""
     lo = plan_ref[i, 0]
     use_list = plan_ref[i, 3] == 1
     cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
+    def entry(k):
+        return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
+
     def bid(k):
         # clamp the list index: in range mode k can exceed maxv and both
         # sides of the select are evaluated
-        return jnp.where(
-            use_list,
-            plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)], lo + k)
-    return cnt, bid
+        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k)
+
+    def bound16(k):
+        # truncated-f32 entry-t bound, comparable in INT space against the
+        # high 16 bits of any non-negative f32 (IEEE ordering); valid only
+        # in list mode where entries are bound-ascending
+        return jax.lax.shift_right_logical(entry(k), 16)
+    return cnt, bid, use_list, bound16
 
 
 KB = 8              # blocks batched per matmul: one [TILE_R,16]@[16,KB*4B]
@@ -285,7 +324,7 @@ def _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
 def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    cnt, bid = _tile_plan(plan_ref, i)
+    cnt, bid, use_list, bound16 = _tile_plan(plan_ref, i)
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
@@ -296,8 +335,12 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         def _():
             _super_dma(G_hbm, gbuf, sem_g, bid, 0, 0, cnt, B)
 
-    def body(j, carry):
-        best_t, best_i = carry
+    def cond(state):
+        j, done, best_t, best_i = state
+        return (j < ns) & ~done
+
+    def body(state):
+        j, _, best_t, best_i = state
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
@@ -329,11 +372,27 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
             better = bt < best_t
             best_t = jnp.where(better, bt, best_t)
             best_i = jnp.where(better & (bj < B), bid(k) * B + bj, best_i)
-        return best_t, best_i
+        # front-to-back break: entries ascend in conservative entry t, so
+        # once every ray has a hit closer than the next entry's bound, no
+        # remaining block can improve any ray in the tile.  Compared in int
+        # space (IEEE: non-negative f32 order == bit order; Mosaic has no
+        # scalar float bitcast).
+        worst_bits = jnp.max(jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(best_t, jnp.int32), 16))
+        done = use_list & (worst_bits < bound16((j + 1) * KB))
+        return j + 1, done, best_t, best_i
 
-    init = (jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
+    init = (jnp.int32(0), jnp.bool_(False),
+            jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
             jnp.full((TILE_R, 1), -1, jnp.int32))
-    best_t, best_i = jax.lax.fori_loop(0, ns, body, init)
+    j_end, _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+
+    if not _SYNC_DMA:
+        # drain the prefetched super-step left in flight by an early break
+        @pl.when(j_end < ns)
+        def _():
+            _super_wait(G_hbm, gbuf, sem_g, bid, j_end % 2, j_end, cnt, B)
+
     t_ref[0] = best_t
     idx_ref[0] = best_i
 
@@ -344,7 +403,7 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
     simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
     i = pl.program_id(0)
-    cnt, bid = _tile_plan(plan_ref, i)
+    cnt, bid, use_list, _bound16 = _tile_plan(plan_ref, i)
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
@@ -554,8 +613,8 @@ def _cull(origin, direction, tile, prep, maxv):
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max)
     n = lo.shape[0]
-    aux = jnp.stack([lo, cnt, jnp.zeros_like(lo), jnp.zeros_like(lo)],
-                    axis=-1)
+    z = jnp.zeros_like(lo)
+    aux = jnp.stack([lo, cnt, z, z, z, z, z, z], axis=-1)
     return jnp.concatenate(
         [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
 
