@@ -293,9 +293,10 @@ def _tile_plan(plan_ref, i):
     return cnt, bid, use_list, bound16
 
 
-KB = 8              # blocks batched per matmul: one [TILE_R,16]@[16,KB*4B]
-                    # dot replaces KB small ones (small-K matmuls on the MXU
-                    # are latency-bound, measured ~2us each regardless of N)
+KB = int(_os.environ.get("SRT_TILED_KB", "8"))
+                    # blocks batched per matmul: one [TILE_R,16]@[16,KB*4B]
+                    # dot replaces KB small ones (per-super-step fixed cost
+                    # dominates; measured flat for 1..8 blocks per step)
 
 
 def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
