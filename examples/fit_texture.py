@@ -5,7 +5,7 @@ to gray, and gradient-descends the ATLAS PIXELS until renders match — the
 texture-gather VJP (a scatter-add, DESIGN.md) doing the work.  Outputs
 before/after/target PNGs under examples/out/.
 
-Run: python examples/fit_texture.py  (CPU-friendly, ~2 min)
+Run: python examples/fit_texture.py [--cpu]
 """
 
 import os
@@ -14,7 +14,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__" and "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
@@ -39,7 +40,7 @@ def main():
     sm.transform_triangles("tree", T.translate((0.0, 12.0, 40.0)))
     scene = jax.device_put(sm.build())
     cfg = default_config().replace(
-        camera=CameraConfig(width=160, height=120),
+        camera=CameraConfig(width=96, height=72),
         light=LightConfig(enable_shadows=False))
     light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
 
@@ -68,14 +69,19 @@ def main():
         tex = jnp.clip(optax.apply_updates(tex, upd), 0.0, 1.0)
         return tex, state, loss
 
+    def masked(rad, h):
+        return jnp.where(h[..., None], rad, 0.0)
+
     tex = tex0
-    rad0, _ = render_radiance(scene.replace(tex_data=tex), cfg, light)
+    rad0, h0 = render_radiance(scene.replace(tex_data=tex), cfg, light)
+    rad0 = masked(rad0, h0)
     save("before.png", rad0)
-    for i in range(120):
+    for i in range(80):
         tex, state, loss = step(tex, state)
-        if i % 20 == 0 or i == 119:
+        if i % 20 == 0 or i == 79:
             print(f"step {i:3d}  loss {float(loss):.6f}", flush=True)
-    rad1, _ = render_radiance(scene.replace(tex_data=tex), cfg, light)
+    rad1, h1 = render_radiance(scene.replace(tex_data=tex), cfg, light)
+    rad1 = masked(rad1, h1)
     save("after.png", rad1)
     err0 = float(jnp.mean((rad0 - target) ** 2))
     err1 = float(jnp.mean((rad1 - target) ** 2))
