@@ -293,10 +293,14 @@ def _tile_plan(plan_ref, i):
     return cnt, bid, use_list, bound16
 
 
-KB = int(_os.environ.get("SRT_TILED_KB", "8"))
-                    # blocks batched per matmul: one [TILE_R,16]@[16,KB*4B]
-                    # dot replaces KB small ones (per-super-step fixed cost
-                    # dominates; measured flat for 1..8 blocks per step)
+# One super-step = one [TILE_R,16]@[16,SUPER_COLS] contraction over KB
+# blocks (KB small matmuls would be latency-bound).  SUPER_COLS is fixed so
+# finer blocks (tighter culling) keep the same MXU width per step.
+SUPER_COLS = int(_os.environ.get("SRT_TILED_SUPER_COLS", "4096"))
+
+
+def _kb(block: int) -> int:
+    return max(SUPER_COLS // (4 * block), 1)
 
 
 def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
@@ -305,6 +309,7 @@ def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
     Unconditional (tail blocks clamp to a valid id and are masked in the
     epilogue): a @pl.when around every DMA serializes the scalar core.
     """
+    KB = _kb(B)
     nb = G_hbm.shape[0]
     for i in range(KB):
         pltpu.make_async_copy(
@@ -314,6 +319,7 @@ def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
 
 
 def _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
+    KB = _kb(B)
     nb = G_hbm.shape[0]
     for i in range(KB):
         pltpu.make_async_copy(
@@ -329,6 +335,7 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
     B = block
+    KB = _kb(B)
     ns = (cnt + KB - 1) // KB                            # super-steps
 
     if not _SYNC_DMA:
@@ -409,7 +416,7 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
     B = block
-
+    KB = _kb(B)
     ns = (cnt + KB - 1) // KB
 
     def o_super_dma(slot, j, wait=False):
@@ -539,8 +546,8 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * KB), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, KB)),
+                pltpu.VMEM((2, F_DIM, 4 * block * _kb(block)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, _kb(block))),
             ],
         )
         return pl.pallas_call(
@@ -583,10 +590,10 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * KB), jnp.float32),
-                pltpu.VMEM((2, block * KB), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, KB)),
-                pltpu.SemaphoreType.DMA((2, KB)),
+                pltpu.VMEM((2, F_DIM, 4 * block * _kb(block)), jnp.float32),
+                pltpu.VMEM((2, block * _kb(block)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, _kb(block))),
+                pltpu.SemaphoreType.DMA((2, _kb(block))),
             ],
         )
         (found,) = pl.pallas_call(
