@@ -134,6 +134,13 @@ def main():
     shot("bunny_bvh", "Stanford bunny (69,451 tris), stackless BVH",
          sm.build(), base.replace(mode="bvh"))
 
+    # --- The reference's ACTIVE complex scene (:553-618) ----------------
+    sm, view, light = catalog.complex_scene(ROOT, 120.0, bake_view=False)
+    shot("complex_scene",
+         "The reference's active scene: ground + bunny + 3 textured trees, "
+         "BVH + hard shadows", sm.build(),
+         base.replace(mode="bvh"), light=jnp.asarray(light), view=view)
+
     # --- Turntable frames (reference images/image_series/) --------------
     sm, _, light = catalog.four_cubes(ROOT, 0.0, bake_view=False)
     scene = sm.build()

@@ -95,3 +95,27 @@ def test_bmp_writer_roundtrip(tmp_path):
     from PIL import Image
     back = np.asarray(Image.open(p).convert("RGB"))
     np.testing.assert_array_equal(img, back)
+
+
+def test_complex_scene_end_to_end():
+    """The reference's ACTIVE scene (simple_raytracer.cpp:553-618): ground
+    cube + bunny + 3 textured trees (+ 2 soft-failed cats), world-space
+    camera, BVH, hard shadows."""
+    import jax.numpy as jnp
+    sm, view, light = catalog.complex_scene(ROOT, 120.0, bake_view=False)
+    scene = sm.build()
+    assert scene.num_objects == 7          # cube + 2 cats + bunny + 3 trees
+    assert scene.num_triangles > 150_000
+    cfg = default_config().replace(
+        mode="bvh", camera=CameraConfig(width=90, height=60))
+    img = np.asarray(render(scene, cfg, light, view_matrix=view))
+    bg = np.all(img == np.array([173, 216, 230]), axis=-1)
+    assert (~bg).mean() > 0.5              # ground+trees dominate the frame
+    # textured trees: many distinct colors
+    colors = {tuple(c) for c in img[~bg][::5]}
+    assert len(colors) > 30
+    # shadows darken part of the ground
+    img_ns = np.asarray(render(
+        scene, cfg.replace(light=cfg.light.__class__(enable_shadows=False)),
+        light, view_matrix=view))
+    assert img_ns.sum() > img.sum()
