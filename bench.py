@@ -49,6 +49,13 @@ def run_once(mode: str, width: int, height: int, frames: int,
     m = T.translate((0.0, -5.5, 60.0)) @ T.rotate_y(3.14159265) @ \
         T.scale(50.0, 50.0, 50.0)
     sm.transform_triangles("bunny", m)
+    if shadows:
+        # a ground slab under the bunny so the occlusion pass does real work
+        # (the reference's headline scene also shadows onto a ground cube)
+        sm.load_obj_file("/root/reference/cube.obj", key="ground")
+        sm.set_color("ground", (0.0, 1.0, 0.0))
+        sm.transform_triangles(
+            "ground", T.translate((0.0, 9.0, 60.0)) @ T.scale(30.0, 2.0, 30.0))
     scene = sm.build()
     # focal zoomed so the bunny fills most of the frame: rays/s must measure
     # full-frame WORK, not empty-tile overhead (bunny at 50x spans ~±4 units

@@ -126,6 +126,10 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     gram = np.zeros((nb, 16, 4 * bs), np.float32)
     gram[:, :10] = Gt
     obj_blocks = padded.tri_obj.astype(np.float32).reshape(nb, bs)
+    # per-triangle object ids ride in Gram row 10 (columns 0:bs): the ray
+    # feature vector is zero there, so the contraction is unaffected, and the
+    # occlusion kernel reads them from the same VMEM buffer (no second DMA)
+    gram[:, 10, :bs] = obj_blocks
 
     ps = PreparedScene(
         scene=padded,

@@ -406,10 +406,11 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
 
 
 def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
-                   self_ref, G_hbm, obj_hbm, hit_ref, gbuf, obuf, sem_g,
-                   sem_o):
+                   self_ref, G_hbm, hit_ref, gbuf, sem_g):
     """Occlusion: ANY valid hit (t >= 0, no max-t — the reference quirk,
-    simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object."""
+    simple_raytracer.cpp:321-342) on a triangle of a DIFFERENT object.
+    Per-triangle object ids ride in Gram row 10 (prepare() packs them), so
+    the same DMA stream feeds both the contraction and the self-exclusion."""
     i = pl.program_id(0)
     cnt, bid, use_list, _bound16 = _tile_plan(plan_ref, i)
     F = F_ref[0]
@@ -419,21 +420,11 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     KB = _kb(B)
     ns = (cnt + KB - 1) // KB
 
-    def o_super_dma(slot, j, wait=False):
-        nb = obj_hbm.shape[0]
-        for i in range(KB):
-            cp = pltpu.make_async_copy(
-                obj_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
-                obuf.at[slot, pl.ds(i * B, B)], sem_o.at[slot, i])
-            cp.wait() if wait else cp.start()
-
     def start_super(slot, j):
         _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
-        o_super_dma(slot, j)
 
     def wait_super(slot, j):
         _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
-        o_super_dma(slot, j, wait=True)
 
     if not _SYNC_DMA:
         @pl.when(cnt > 0)
@@ -470,7 +461,8 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
             t = q[:, 3 * B:] * inv
             valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
                     (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & (k < cnt)
-            other = obuf[slot][None, kk * B:(kk + 1) * B] != self_obj
+            objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
+            other = objs != self_obj
             occm = valid & other
             if not no_max_t:
                 occm = occm & (t <= 1.0)
@@ -566,10 +558,10 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "block", "eps", "no_max_t"))
-def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
+def tiled_anyhit(F, self_obj, plan, Gt,
                  tile: int, block: int, eps: float, no_max_t: bool = True):
-    """Occlusion query.  self_obj [n, tile] f32; obj_blocks [NB, block] f32.
-    -> found [n, tile] bool."""
+    """Occlusion query.  self_obj [n, tile] f32.  Object ids come from Gram
+    row 10 (see accel/prepared.py).  -> found [n, tile] bool."""
     n = F.shape[0]
 
     def call(Fc, selfc, planc):
@@ -583,7 +575,6 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
                 pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
-                pl.BlockSpec(memory_space=pltpu.HBM),   # obj blocks
             ],
             out_specs=[
                 pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
@@ -591,8 +582,6 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, F_DIM, 4 * block * _kb(block)), jnp.float32),
-                pltpu.VMEM((2, block * _kb(block)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, _kb(block))),
                 pltpu.SemaphoreType.DMA((2, _kb(block))),
             ],
         )
@@ -601,7 +590,7 @@ def tiled_anyhit(F, self_obj, plan, Gt, obj_blocks,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32)],
             interpret=_interpret(),
-        )(planc, Fc, selfc, Gt, obj_blocks)
+        )(planc, Fc, selfc, Gt)
         return found
 
     found = _chunk_tiles(call, n, F, self_obj.reshape(n, tile, 1), plan)
@@ -642,7 +631,6 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
                     no_max_t: bool = True):
     block = prep.block_size
     Gt = prep.gram
-    obj_blocks = prep.obj_blocks
 
     def shadow(point, light, self_obj):
         d = light - point
@@ -654,7 +642,7 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
         found = tiled_anyhit(F, so.reshape(n, tile), plan, Gt,
-                             obj_blocks, tile, block, eps, no_max_t)
+                             tile, block, eps, no_max_t)
         return found.reshape(-1)[:R]
 
     return shadow
