@@ -256,7 +256,8 @@ def _mt_quad(F, G, block, eps):
     return jnp.where(valid, t, jnp.inf)
 
 
-PLAN_W = 128        # plan-table width: SMEM rows lane-pad to 128 anyway
+PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "256"))
+                    # plan-table width (multiple of 128: SMEM lane padding)
 # cols 0-7: lo, range_cnt, list_cnt, use_list, 0, 0, 0, 0;
 # cols 8..: packed block entries  id | (bound16 << 16), bound-ascending, where
 # bound16 = top 16 bits of the f32 conservative entry-t (IEEE ordering: for
@@ -490,9 +491,9 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-# SMEM is ~1 MB; a plan row occupies PLAN_W*4 = 512 B, so cap tiles per
+# SMEM is ~1 MB; a plan row occupies PLAN_W*4 bytes, so cap tiles per
 # pallas_call and lax.map over chunks for bigger frames.
-MAX_TILES_PER_CALL = 1536
+MAX_TILES_PER_CALL = (896 * 1024) // (PLAN_W * 4)
 
 
 def _chunk_tiles(fn, n, *arrays):
@@ -632,10 +633,34 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
     block = prep.block_size
     Gt = prep.gram
 
-    def shadow(point, light, self_obj):
+    def shadow(point, light, self_obj, hit=None):
+        if hit is not None:
+            # tile-aware repair: a miss ray's pinned (0,0,0) origin would
+            # blow the tile's cull bounds from the camera to the surface.
+            # Replace miss origins with a hit point FROM THE SAME TILE
+            # (their occlusion results are discarded), and drop hitless
+            # tiles entirely.
+            R0 = point.shape[0]
+            padn = (-R0) % tile
+            if padn:
+                point = jnp.concatenate(
+                    [point, jnp.zeros((padn, 3), point.dtype)], 0)
+                hit = jnp.concatenate(
+                    [hit, jnp.zeros((padn,), hit.dtype)], 0)
+            nt = point.shape[0] // tile
+            p3 = point.reshape(nt, tile, 3)
+            h2 = hit.reshape(nt, tile)
+            first = jnp.argmax(h2, axis=1)
+            fill = jnp.take_along_axis(
+                p3, first[:, None, None].repeat(3, axis=2), axis=1)
+            p3 = jnp.where(h2[..., None], p3, fill)
+            any_hit = h2.any(axis=1)
+            point = p3.reshape(-1, 3)[:R0]
         d = light - point
         F, n, R = ray_tile_features(point, d, tile)
         plan = _cull(point, d, tile, prep, maxv)
+        if hit is not None:
+            plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
         so = self_obj.astype(jnp.float32)
         pad = n * tile - R
         if pad:

@@ -130,11 +130,16 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
         # inf origin would poison tile-level cull bounds in the Pallas
         # backend (one miss ray could disable shadows for its whole tile) —
         # pin them to the origin instead.
-        point_safe = jnp.where(jnp.isfinite(t)[..., None], point, 0.0)
+        hit_mask = jnp.isfinite(t)
+        point_safe = jnp.where(hit_mask[..., None], point, 0.0)
         pts = jnp.broadcast_to(point_safe[None], (S, R, 3)).reshape(S * R, 3)
         lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
         objs = jnp.broadcast_to(obj[None], (S, R)).reshape(S * R)
-        shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)
+        hits = jnp.broadcast_to(hit_mask[None], (S, R)).reshape(S * R)
+        try:
+            shadowed_all = shadow_fn(pts, lps, objs, hits).reshape(S, R)
+        except TypeError:           # backends without the hit-mask protocol
+            shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)
 
     accum = jnp.zeros_like(point)
     for s in range(S):
