@@ -75,20 +75,25 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
             return _sweep_frame_parallel(
                 prep, cfg, views, light, angles, out_dir, fmt, mesh,
                 frame_axis, emit)
-        for a, V in zip(angles, views):
-            path = os.path.join(out_dir, f"output{int(a)}.{fmt}")
-            if resume and os.path.exists(path):
-                written.append(path)
-                continue
+        todo = [(k, a) for k, a in enumerate(angles)
+                if not (resume and os.path.exists(
+                    os.path.join(out_dir, f"output{int(a)}.{fmt}")))]
+        if todo:
+            # one device program for ALL pending frames: per-frame host
+            # round trips cost ~1 s each on a tunneled TPU
             t0 = time.time()
-            img = np.asarray(render(prep, cfg, light, view_matrix=V))
+            imgs = np.asarray(frames_batched(
+                prep, cfg, views[[k for k, _ in todo]], light))
             dt = time.time() - t0
-            save_image(path, img)
-            written.append(path)
-            emit({"event": "frame", "angle": float(a),
-                  "ms": round(dt * 1e3, 2),
-                  "rays_per_s": round(img.shape[0] * img.shape[1] / dt, 1),
-                  "path": path})
+            rays = imgs.shape[1] * imgs.shape[2]
+            emit({"event": "sweep", "frames": len(todo),
+                  "ms_per_frame": round(dt * 1e3 / len(todo), 2),
+                  "rays_per_s": round(rays * len(todo) / dt, 1)})
+            for (k, a), img in zip(todo, imgs):
+                save_image(os.path.join(out_dir, f"output{int(a)}.{fmt}"),
+                           img)
+        written = [os.path.join(out_dir, f"output{int(a)}.{fmt}")
+                   for a in angles]
     else:
         # reference-parity mode: rebuild + rebake + re-BVH per frame
         for a in angles:
@@ -108,6 +113,25 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
                   "ms": round(dt * 1e3, 2), "path": path})
     metrics.close()
     return written
+
+
+def frames_batched(prep_or_scene, cfg: RenderConfig, views, light
+                   ) -> jnp.ndarray:
+    """Render a BATCH of frames inside ONE device program (lax.map) —
+    eliminates per-frame host round trips (~1 s each on a tunneled TPU).
+    views [F,4,4]; returns [F, H, W, 3] uint8."""
+    operand = ensure_prepared(prep_or_scene, cfg)
+    light = jnp.asarray(light, jnp.float32)
+
+    @jax.jit
+    def sweep(operand, Vs, light):
+        def one(V):
+            radiance, hit = render_radiance(operand, cfg, light,
+                                            view_matrix=V)
+            return integrator.finalize_image(radiance, hit, cfg)
+        return jax.lax.map(one, Vs)
+
+    return sweep(operand, jnp.asarray(views, jnp.float32), light)
 
 
 def frames_parallel(prep_or_scene, cfg: RenderConfig, views: jnp.ndarray,
