@@ -31,8 +31,8 @@ class PreparedScene:
     leaf_count: jnp.ndarray   # [M]
     block_min: jnp.ndarray    # [NB, 3]
     block_max: jnp.ndarray    # [NB, 3]
-    gram: jnp.ndarray         # [NB, 16, 4*block] — packed MT factors (tiled path)
-    obj_blocks: jnp.ndarray   # [NB, block] f32 — per-tri object ids (shadows)
+    gram: jnp.ndarray         # [NB, 16, 4*block] — packed MT factors; row 10
+                              # carries per-triangle object ids (tiled path)
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
@@ -42,7 +42,7 @@ class PreparedScene:
     block_size: int = dataclasses.field(default=128)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
-            "leaf_count", "block_min", "block_max", "gram", "obj_blocks")
+            "leaf_count", "block_min", "block_max", "gram")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size")
 
@@ -125,11 +125,10 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     Gt = G.reshape(nb, bs, 10, 4).transpose(0, 2, 3, 1).reshape(nb, 10, 4 * bs)
     gram = np.zeros((nb, 16, 4 * bs), np.float32)
     gram[:, :10] = Gt
-    obj_blocks = padded.tri_obj.astype(np.float32).reshape(nb, bs)
     # per-triangle object ids ride in Gram row 10 (columns 0:bs): the ray
     # feature vector is zero there, so the contraction is unaffected, and the
     # occlusion kernel reads them from the same VMEM buffer (no second DMA)
-    gram[:, 10, :bs] = obj_blocks
+    gram[:, 10, :bs] = padded.tri_obj.astype(np.float32).reshape(nb, bs)
 
     ps = PreparedScene(
         scene=padded,
@@ -141,7 +140,6 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         block_min=bmin,
         block_max=bmax,
         gram=gram,
-        obj_blocks=obj_blocks,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),
         num_triangles=int(T),

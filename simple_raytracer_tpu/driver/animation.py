@@ -115,11 +115,15 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
     return written
 
 
+FRAMES_PER_SWEEP = 24       # bounds the [F,H,W,3] device buffer (~100 MB
+                            # at 1080p) while amortizing host round trips
+
+
 def frames_batched(prep_or_scene, cfg: RenderConfig, views, light
-                   ) -> jnp.ndarray:
-    """Render a BATCH of frames inside ONE device program (lax.map) —
+                   ) -> "np.ndarray":
+    """Render a BATCH of frames in few device programs (lax.map, chunked) —
     eliminates per-frame host round trips (~1 s each on a tunneled TPU).
-    views [F,4,4]; returns [F, H, W, 3] uint8."""
+    views [F,4,4]; returns [F, H, W, 3] uint8 (host array)."""
     operand = ensure_prepared(prep_or_scene, cfg)
     light = jnp.asarray(light, jnp.float32)
 
@@ -131,7 +135,18 @@ def frames_batched(prep_or_scene, cfg: RenderConfig, views, light
             return integrator.finalize_image(radiance, hit, cfg)
         return jax.lax.map(one, Vs)
 
-    return sweep(operand, jnp.asarray(views, jnp.float32), light)
+    views = np.asarray(views, np.float32)
+    F = views.shape[0]
+    C = FRAMES_PER_SWEEP
+    if F <= C:
+        return np.asarray(sweep(operand, jnp.asarray(views), light))
+    # fixed chunk size => one compiled executable; pad the tail chunk
+    pad = (-F) % C
+    if pad:
+        views = np.concatenate([views, np.repeat(views[-1:], pad, 0)], 0)
+    out = [np.asarray(sweep(operand, jnp.asarray(views[i:i + C]), light))
+           for i in range(0, views.shape[0], C)]
+    return np.concatenate(out, axis=0)[:F]
 
 
 def frames_parallel(prep_or_scene, cfg: RenderConfig, views: jnp.ndarray,

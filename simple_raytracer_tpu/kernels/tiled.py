@@ -171,8 +171,14 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     qscale = jnp.maximum(tmax - tmin, 1e-20) / T_BUCKETS
     qb = jnp.clip(((tlo - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
                   0, T_BUCKETS - 1)
+    # the packed bound is the BUCKET FLOOR, not the entry's own t: within a
+    # bucket entries are in block-index order, so only the floor lower-bounds
+    # every later entry (bucket-ascending => floors non-decreasing).  The
+    # 16-bit truncation rounds down, keeping it conservative.
+    floor_t = jnp.maximum(tmin[:, None] + qb.astype(jnp.float32)
+                          * qscale[:, None], 0.0)
     bound16 = jax.lax.shift_right_logical(
-        jax.lax.bitcast_convert_type(jnp.maximum(tlo, 0.0), jnp.int32), 16)
+        jax.lax.bitcast_convert_type(floor_t, jnp.int32), 16)
 
     # bucket-ordered compaction by scatter (argsort would be a per-row sort —
     # hundreds of ms on TPU at 8k tiles x 500 blocks)
@@ -235,24 +241,20 @@ def _safe_div(a, b):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _mt_quad(F, G, block, eps):
-    """[TILE_R, F_DIM] x [F_DIM, 4B] -> (t [TILE_R, B] with misses=+inf)."""
-    # HIGHEST: the MXU's default single-pass bf16 is far too coarse for
-    # Moller-Trumbore's cancellations (det/u/v/t go through differences of
-    # large products); 3-pass bf16 recovers ~f32 accuracy.
-    quad = jnp.dot(F, G, preferred_element_type=jnp.float32,
-                   precision=_PRECISION)                     # [TILE_R, 4B]
-    B = block
-    det = quad[:, :B]
-    u_num = quad[:, B:2 * B]
-    v_num = quad[:, 2 * B:3 * B]
-    t_num = quad[:, 3 * B:]
+def _mt_epilogue(q, B, eps, extra_valid):
+    """One block's quad slice [TILE_R, 4B] -> t [TILE_R, B], misses=+inf.
+
+    Single home for the Möller–Trumbore validity rules (det eps, u/v range,
+    t>=0 — simple_raytracer.cpp:57-73) shared by the nearest-hit and
+    occlusion kernels.
+    """
+    det = q[:, :B]
     inv = 1.0 / det
-    u = u_num * inv
-    v = v_num * inv
-    t = t_num * inv
+    u = q[:, B:2 * B] * inv
+    v = q[:, 2 * B:3 * B] * inv
+    t = q[:, 3 * B:] * inv
     valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-            (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+            (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & extra_valid
     return jnp.where(valid, t, jnp.inf)
 
 
@@ -366,14 +368,7 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         for kk in range(KB):
             k = j * KB + kk
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            det = q[:, :B]
-            inv = 1.0 / det
-            u = q[:, B:2 * B] * inv
-            v = q[:, 2 * B:3 * B] * inv
-            t = q[:, 3 * B:] * inv
-            valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-                    (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & (k < cnt)
-            t = jnp.where(valid, t, jnp.inf)
+            t = _mt_epilogue(q, B, eps, k < cnt)
             # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
             # cannot reshape across the sublane/lane boundary
             bt = jnp.min(t, axis=1, keepdims=True)       # [TILE_R, 1]
@@ -455,16 +450,9 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
         for kk in range(KB):
             k = j * KB + kk
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            det = q[:, :B]
-            inv = 1.0 / det
-            u = q[:, B:2 * B] * inv
-            v = q[:, 2 * B:3 * B] * inv
-            t = q[:, 3 * B:] * inv
-            valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-                    (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & (k < cnt)
+            t = _mt_epilogue(q, B, eps, k < cnt)
             objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
-            other = objs != self_obj
-            occm = valid & other
+            occm = jnp.isfinite(t) & (objs != self_obj)
             if not no_max_t:
                 occm = occm & (t <= 1.0)
             occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)

@@ -136,9 +136,11 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
         lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
         objs = jnp.broadcast_to(obj[None], (S, R)).reshape(S * R)
         hits = jnp.broadcast_to(hit_mask[None], (S, R)).reshape(S * R)
-        try:
+        import inspect
+        takes_hit = len(inspect.signature(shadow_fn).parameters) >= 4
+        if takes_hit:
             shadowed_all = shadow_fn(pts, lps, objs, hits).reshape(S, R)
-        except TypeError:           # backends without the hit-mask protocol
+        else:
             shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)
 
     accum = jnp.zeros_like(point)
