@@ -241,6 +241,29 @@ def _safe_div(a, b):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
+def _mt_occlusion(q, B, eps, extra_valid, no_max_t):
+    """Division-free occlusion test for one block's quad slice.
+
+    The any-hit kernel never needs t's VALUE — only the validity predicate —
+    and every Möller–Trumbore range test can be phrased on the numerators:
+    u >= 0 <=> u_num*det >= 0,  u <= 1 <=> |u_num| <= |det| (given the sign
+    test), u+v <= 1 <=> |u_num + v_num| <= |det|, t in [0,1] likewise.
+    Drops the [TILE_R, B] reciprocal from the shadow inner loop.
+    """
+    det = q[:, :B]
+    u_num = q[:, B:2 * B]
+    v_num = q[:, 2 * B:3 * B]
+    t_num = q[:, 3 * B:]
+    adet = jnp.abs(det)
+    occ = (adet >= eps) & extra_valid & \
+        (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
+        (v_num * det >= 0.0) & (jnp.abs(u_num + v_num) <= adet) & \
+        (t_num * det >= 0.0)
+    if not no_max_t:
+        occ = occ & (jnp.abs(t_num) <= adet)      # t <= 1: stop at the light
+    return occ
+
+
 def _mt_epilogue(q, B, eps, extra_valid):
     """One block's quad slice [TILE_R, 4B] -> t [TILE_R, B], misses=+inf.
 
@@ -450,11 +473,9 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
         for kk in range(KB):
             k = j * KB + kk
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            t = _mt_epilogue(q, B, eps, k < cnt)
             objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
-            occm = jnp.isfinite(t) & (objs != self_obj)
-            if not no_max_t:
-                occm = occm & (t <= 1.0)
+            occm = _mt_occlusion(q, B, eps, k < cnt, no_max_t) & \
+                (objs != self_obj)
             occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
             # carry f32, not bool: Mosaic cannot legalize i1 loop carries
             found = jnp.maximum(found, occ)
