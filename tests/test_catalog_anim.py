@@ -119,3 +119,20 @@ def test_complex_scene_end_to_end():
         scene, cfg.replace(light=cfg.light.__class__(enable_shadows=False)),
         light, view_matrix=view))
     assert img_ns.sum() > img.sum()
+
+
+def test_frames_batched_chunking(monkeypatch):
+    """Sweeps larger than FRAMES_PER_SWEEP split into fixed-size device
+    programs; results must equal per-frame renders."""
+    from simple_raytracer_tpu.driver import animation as anim_mod
+    sm, _, light = catalog.four_cubes(ROOT, 0.0, bake_view=False)
+    scene = sm.build()
+    cfg = default_config().replace(camera=CameraConfig(width=48, height=32))
+    angles = [0.0, 30.0, 60.0, 90.0, 120.0]
+    views = np.stack([catalog.orbit_view(a, 100.0, 0.0, 0.0) for a in angles])
+    monkeypatch.setattr(anim_mod, "FRAMES_PER_SWEEP", 2)   # 5 -> 3 chunks
+    imgs = np.asarray(anim_mod.frames_batched(scene, cfg, views, light))
+    assert imgs.shape == (5, 32, 48, 3)
+    for k in (0, 2, 4):
+        ref = np.asarray(render(scene, cfg, light, view_matrix=views[k]))
+        np.testing.assert_array_equal(ref, imgs[k])
