@@ -93,8 +93,8 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     pad_to = max(-(-max(T, 1) // bs) * bs, T + flat.max_leaf)
     pad_to = -(-pad_to // bs) * bs
     pad = pad_to - T
-    scene_np = {f.name: np.asarray(getattr(scene, f.name))
-                for f in dataclasses.fields(Scene)}
+    scene_np = {name: np.asarray(getattr(scene, name))
+                for name in Scene._ARRAY_FIELDS}
     if pad:
         last_v = (scene_np["verts"][-1, 0:1, :] if T
                   else np.array([[0, 0, 0, 1]], np.float32))
@@ -113,7 +113,7 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     # All host math stays numpy — on a tunneled TPU every intermediate device
     # op is a network round trip (observed: 170s vs 0.7s for a 69k-tri
     # prepare).  One single device_put of the finished pytree at the end.
-    padded = Scene(**scene_np)
+    padded = Scene(**scene_np, has_textures=scene.has_textures)
 
     vc = padded.verts[..., :3] / padded.verts[..., 3:4]
     bmin, bmax, nb = triangle_blocks(vc, bs)

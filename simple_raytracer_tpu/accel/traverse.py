@@ -112,7 +112,7 @@ def bvh_hits(prep: PreparedScene, origin, direction, eps: float = 1e-12):
 
 def bvh_shadow_fn(prep: PreparedScene, eps: float = 1e-12,
                   no_max_t: bool = True):
-    def shadow(point, light, self_obj):
+    def shadow(point, light, self_obj, hit=None):
         d = light - point
         return jax.vmap(
             lambda o, dd, s: any_hit_other(prep, o, dd, s, eps, no_max_t))(

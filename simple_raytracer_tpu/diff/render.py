@@ -96,7 +96,7 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         prep = jax.lax.stop_gradient(prep_or_scene)
         tile = cfg.tile_px * cfg.tile_px
         hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, tile,
-                                                 cfg.mt_eps)
+                                                 cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(
             prep, tile, cfg.mt_eps, cfg.cull_maxv,
             cfg.light.shadow_no_max_t) \
@@ -107,8 +107,9 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
     t, tri_idx = differentiable_hits(hit_fn, verts_cart, o, d, cfg.mt_eps)
     if shadow_fn is not None:
         nd_shadow = shadow_fn
-        shadow_fn = lambda p, l, s: jax.lax.stop_gradient(
-            nd_shadow(jax.lax.stop_gradient(p), jax.lax.stop_gradient(l), s))
+        shadow_fn = lambda p, l, s, hit=None: jax.lax.stop_gradient(
+            nd_shadow(jax.lax.stop_gradient(p), jax.lax.stop_gradient(l), s,
+                      hit=hit))
     radiance = integrator.shade(scene, cfg, o, d, t, tri_idx, light_pos,
                                 shadow_fn)
     hit = jnp.isfinite(t)

@@ -27,23 +27,29 @@ def init_distributed(coordinator: Optional[str] = None,
 
     Returns True when running multi-process.  Safe to call repeatedly and in
     single-process runs (no-op).
+
+    NOTE: must run before anything touches the XLA backend (jax.devices,
+    device_put, any computation) — including by THIS function: querying
+    ``jax.process_count()`` up front would itself initialize the backend and
+    make ``jax.distributed.initialize`` permanently impossible (found by
+    tests/test_multihost.py; the round-1 version had exactly that bug).
     """
-    if jax.process_count() > 1:
-        return True
     env_says_cluster = any(k in os.environ for k in (
-        "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
-    if coordinator or num_processes or env_says_cluster:
-        kw = {}
-        if coordinator:
-            kw["coordinator_address"] = coordinator
-        if num_processes is not None:
-            kw["num_processes"] = num_processes
-        if process_id is not None:
-            kw["process_id"] = process_id
-        try:
-            jax.distributed.initialize(**kw)
-        except Exception as e:    # already initialized / single host
-            print(f"jax.distributed.initialize skipped: {e}")
+        "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not (coordinator or num_processes or env_says_cluster):
+        return jax.process_count() > 1
+    kw = {}
+    if coordinator:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:     # already initialized: repeat call is a no-op
+        print(f"jax.distributed.initialize skipped: {e}")
     return jax.process_count() > 1
 
 

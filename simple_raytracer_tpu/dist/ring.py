@@ -138,7 +138,7 @@ def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
     t, rec = ring_nearest_hit(shard, o, d, axis, cfg.mt_eps)
     shadow_fn = None
     if cfg.light.enable_shadows:
-        shadow_fn = lambda p, l, s: ring_any_hit_other(
+        shadow_fn = lambda p, l, s, hit=None: ring_any_hit_other(
             shard, p, l - p, s, axis, cfg.mt_eps,
             cfg.light.shadow_no_max_t)
     radiance = integrator.shade_records(scene, cfg, rec, o, d, t, light_pos,

@@ -94,10 +94,16 @@ def render_radiance_sharded(prep_or_scene, cfg: RenderConfig, light_pos,
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
 
+    # check_vma=False for the Pallas path: the pallas interpreter (CPU tests)
+    # mixes varying and unvarying operands in its internal dynamic_slices,
+    # which trips shard_map's vma checker (the checker's own error message
+    # recommends this workaround).  Real-TPU lowering carries vma via the
+    # kernel out_shapes (kernels/tiled.py:_out_struct).
     sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis)))
+        out_specs=(P(axis), P(axis)),
+        check_vma=cfg.mode != "tiled")
     radiance, hit = sharded(operand, o, d, light_pos)
     radiance, hit = radiance[:R], hit[:R]
     H, W = cam.height, cam.width

@@ -42,6 +42,15 @@ def sweep_angles(anim: AnimationConfig) -> np.ndarray:
                      dtype=np.float32)
 
 
+
+def frame_filename(angle: float, fmt: str) -> str:
+    """``output{angle}.{fmt}`` — integer angles match the reference's names
+    (``output0.bmp`` ...); fractional angles (step_deg < 1) keep their
+    fraction instead of colliding on int(angle)."""
+    a = float(angle)
+    label = str(int(a)) if a == int(a) else f"{a:g}"
+    return f"output{label}.{fmt}"
+
 def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
                      anim: AnimationConfig = AnimationConfig(),
                      out_dir: str = "images/generation",
@@ -77,7 +86,7 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
                 frame_axis, emit)
         todo = [(k, a) for k, a in enumerate(angles)
                 if not (resume and os.path.exists(
-                    os.path.join(out_dir, f"output{int(a)}.{fmt}")))]
+                    os.path.join(out_dir, frame_filename(a, fmt))))]
         if todo:
             # one device program for ALL pending frames: per-frame host
             # round trips cost ~1 s each on a tunneled TPU
@@ -90,14 +99,14 @@ def render_turntable(scene_name: str, root: str, cfg: RenderConfig,
                   "ms_per_frame": round(dt * 1e3 / len(todo), 2),
                   "rays_per_s": round(rays * len(todo) / dt, 1)})
             for (k, a), img in zip(todo, imgs):
-                save_image(os.path.join(out_dir, f"output{int(a)}.{fmt}"),
+                save_image(os.path.join(out_dir, frame_filename(a, fmt)),
                            img)
-        written = [os.path.join(out_dir, f"output{int(a)}.{fmt}")
+        written = [os.path.join(out_dir, frame_filename(a, fmt))
                    for a in angles]
     else:
         # reference-parity mode: rebuild + rebake + re-BVH per frame
         for a in angles:
-            path = os.path.join(out_dir, f"output{int(a)}.{fmt}")
+            path = os.path.join(out_dir, frame_filename(a, fmt))
             if resume and os.path.exists(path):
                 written.append(path)
                 continue
@@ -165,7 +174,8 @@ def frames_parallel(prep_or_scene, cfg: RenderConfig, views: jnp.ndarray,
         return jax.lax.map(lambda V: one(operand, V, light), Vs)
 
     f = jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(P(), P(axis), P()), out_specs=P(axis)))
+        local, mesh=mesh, in_specs=(P(), P(axis), P()), out_specs=P(axis),
+        check_vma=cfg.mode != "tiled"))   # see dist/sharding.py note
     return f(operand, jnp.asarray(views, jnp.float32), light)
 
 
@@ -184,7 +194,7 @@ def _sweep_frame_parallel(prep, cfg, views, light, angles, out_dir, fmt,
           "ms_per_frame": round(dt * 1e3 / F, 2)})
     written = []
     for k, a in enumerate(angles):
-        path = os.path.join(out_dir, f"output{int(a)}.{fmt}")
+        path = os.path.join(out_dir, frame_filename(a, fmt))
         save_image(path, imgs[k])
         written.append(path)
     return written

@@ -151,6 +151,10 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     """
     visible, tlo, n = _visibility(o, d, tile, block_min, block_max)
     NB = visible.shape[1]
+    # plan entries pack the block id into 16 bits (id | bound16 << 16)
+    assert NB <= 65536, (
+        f"{NB} triangle blocks exceed the 16-bit plan-entry id space; "
+        "use range culling (cull_maxv=0) or a larger block_size")
     idx = jnp.arange(NB, dtype=jnp.int32)
     first = jnp.min(jnp.where(visible, idx, NB), axis=-1)
     last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
@@ -224,7 +228,13 @@ def _visibility(o, d, tile, block_min, block_max):
     tmax_ax = jnp.where(spans, INF, tmax_ax)
     t_lo = jnp.max(tmin_ax, axis=-1)
     t_hi = jnp.min(tmax_ax, axis=-1)
-    visible = (t_hi >= t_lo) & (t_hi >= 0.0)
+    # t_lo == +inf means the entry time is unbounded (an axis whose direction
+    # interval is {0} with a strictly-positive offset interval produces
+    # all-inf slab candidates): the block is genuinely unreachable.  Without
+    # this guard inf >= inf would mark it visible and poison the tile's
+    # front-to-back quantization (qscale=inf -> floor_t=NaN -> bogus early
+    # break in the kernel).
+    visible = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo < jnp.inf)
     return visible, jnp.maximum(t_lo, 0.0), n
 
 
@@ -505,6 +515,19 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
 MAX_TILES_PER_CALL = (896 * 1024) // (PLAN_W * 4)
 
 
+def _out_struct(shape, dtype, ref):
+    """ShapeDtypeStruct for a pallas_call output, carrying the varying-manual-
+    axes of ``ref`` so the kernel is legal inside shard_map(check_vma=True)
+    (the DP production path: dist/sharding.py routes mode='tiled' here)."""
+    try:
+        vma = jax.typeof(ref).vma
+    except AttributeError:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _chunk_tiles(fn, n, *arrays):
     """Run ``fn(chunk_arrays...)`` over <=MAX_TILES_PER_CALL tile chunks
     (leading axis n).  Pads with zeros (plan rows of zeros = cnt 0)."""
@@ -556,8 +579,8 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
             functools.partial(_nearest_kernel, block, eps),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((nl, tile, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32),
+                _out_struct((nl, tile, 1), jnp.float32, Fc),
+                _out_struct((nl, tile, 1), jnp.int32, Fc),
             ],
             interpret=_interpret(),
         )(planc, Fc, Gt)
@@ -598,7 +621,7 @@ def tiled_anyhit(F, self_obj, plan, Gt,
         (found,) = pl.pallas_call(
             functools.partial(_anyhit_kernel, block, eps, no_max_t),
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((nl, tile, 1), jnp.int32)],
+            out_shape=[_out_struct((nl, tile, 1), jnp.int32, Fc)],
             interpret=_interpret(),
         )(planc, Fc, selfc, Gt)
         return found
@@ -613,7 +636,11 @@ def tiled_anyhit(F, self_obj, plan, Gt,
 
 def _cull(origin, direction, tile, prep, maxv):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
-    exact lists with range fallback; maxv == 0: pure ranges."""
+    exact lists with range fallback; maxv == 0: pure ranges.  Scenes beyond
+    the 16-bit block-id space of list entries (> 65536 blocks ≈ 8.4M
+    triangles at block 128) force range mode."""
+    if prep.num_blocks > 65536:
+        maxv = 0
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv)

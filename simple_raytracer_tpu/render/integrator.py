@@ -49,7 +49,7 @@ def gather_hit_records(scene, tri_idx: jnp.ndarray, cfg=None) -> dict:
     """
     idx = jnp.maximum(tri_idx, 0)
     smooth = bool(cfg.shading.smooth_normals) if cfg is not None else True
-    textured = scene.tex_data.shape[0] > 1          # static: atlas non-dummy
+    textured = scene.has_textures                   # static flag (Scene aux)
     rec = {
         "obj": scene.tri_obj[idx],            # [R]
         "tex_id": scene.tri_tex[idx],         # [R]
@@ -77,7 +77,7 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     scfg, lcfg = cfg.shading, cfg.light
     obj = jnp.maximum(record["obj"], 0)
     tex_id = record["tex_id"]
-    has_atlas = scene.tex_data.shape[0] > 1            # static
+    has_atlas = scene.has_textures                     # static flag
 
     point = origin + t[..., None] * direction          # :156, :351
 
@@ -136,12 +136,11 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
         lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
         objs = jnp.broadcast_to(obj[None], (S, R)).reshape(S * R)
         hits = jnp.broadcast_to(hit_mask[None], (S, R)).reshape(S * R)
-        import inspect
-        takes_hit = len(inspect.signature(shadow_fn).parameters) >= 4
-        if takes_hit:
-            shadowed_all = shadow_fn(pts, lps, objs, hits).reshape(S, R)
-        else:
-            shadowed_all = shadow_fn(pts, lps, objs).reshape(S, R)
+        # Explicit backend contract: shadow_fn(point, light, self_obj,
+        # hit=None) -> bool [R].  ``hit`` marks rays whose origin is a real
+        # surface point; backends may use it to skip/repair work for miss
+        # rays (their occlusion result is discarded by the shader anyway).
+        shadowed_all = shadow_fn(pts, lps, objs, hit=hits).reshape(S, R)
 
     accum = jnp.zeros_like(point)
     for s in range(S):

@@ -63,7 +63,7 @@ def brute_force_shadow(scene, eps: float = 1e-12, no_max_t: bool = True):
     """
     verts = scene.verts_cart()
 
-    def shadow_fn(point, light, self_obj):
+    def shadow_fn(point, light, self_obj, hit=None):
         if verts.shape[0] == 0:
             return jnp.zeros(point.shape[:1], jnp.bool_)
         d = light - point

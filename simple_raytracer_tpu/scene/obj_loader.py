@@ -171,13 +171,19 @@ def _parse_obj_python(path: str):
                 continue
             toks = line.split()
             tag = toks[0]
+
+            def num(i):
+                # pad missing components with 0.0 — the same soft-failure
+                # contract as the native parser (native.cpp::obj_parse), so a
+                # malformed file loads identically with SRT_NO_NATIVE=1
+                return float(toks[i]) if i < len(toks) else 0.0
+
             if tag == "v":
-                positions.append((float(toks[1]), float(toks[2]), float(toks[3])))
+                positions.append((num(1), num(2), num(3)))
             elif tag == "vt":
-                texcoords.append((float(toks[1]),
-                                  float(toks[2]) if len(toks) > 2 else 0.0))
+                texcoords.append((num(1), num(2)))
             elif tag == "vn":
-                normals.append((float(toks[1]), float(toks[2]), float(toks[3])))
+                normals.append((num(1), num(2), num(3)))
             elif tag == "f":
                 counts = (len(positions), len(texcoords), len(normals))
                 idxs = [_parse_index(t, counts) for t in toks[1:]]

@@ -50,14 +50,23 @@ class Scene:
     tex_offset: jnp.ndarray   # [K] i32 — start pixel of texture k in tex_data
     tex_width: jnp.ndarray    # [K] i32
     tex_height: jnp.ndarray   # [K] i32
+    # static: True iff the atlas holds real textures.  Explicit (not inferred
+    # from the atlas pixel count) so a legitimate single 1x1 texture is not
+    # confused with the untextured dummy atlas.
+    has_textures: bool = dataclasses.field(default=False)
+
+    _ARRAY_FIELDS = ("verts", "vnormals", "tri_normal", "uvs", "tri_color",
+                     "tri_tex", "tri_obj", "obj_color", "obj_ambient",
+                     "obj_specular", "obj_shininess", "tex_data",
+                     "tex_offset", "tex_width", "tex_height")
 
     def tree_flatten(self):
-        children = tuple(getattr(self, f.name) for f in dataclasses.fields(self))
-        return children, None
+        children = tuple(getattr(self, n) for n in self._ARRAY_FIELDS)
+        return children, (self.has_textures,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
     @property
     def num_triangles(self) -> int:
@@ -246,4 +255,5 @@ class SceneManager:
             tex_offset=np.array(offs, np.int32),
             tex_width=np.array(ws, np.int32),
             tex_height=np.array(hs, np.int32),
+            has_textures=bool(tex_names),
         )

@@ -51,6 +51,24 @@ def test_dp_sharded_bvh_mode():
     np.testing.assert_array_equal(ref, out)
 
 
+def test_dp_sharded_tiled_mode():
+    """The production configuration on a real slice: the Pallas kernel INSIDE
+    shard_map (dist/sharding.py:90-93 routes mode='tiled')."""
+    scene = _cube_scene()
+    cfg = default_config().replace(
+        mode="tiled",
+        camera=default_config().camera.__class__(width=64, height=48))
+    light = jnp.array([100.0, -100.0, -50.0])
+    ref = np.asarray(render(scene, cfg, light))
+    mesh = make_mesh(8, ("dp",))
+    out = np.asarray(render_sharded(scene, cfg, light, mesh))
+    np.testing.assert_array_equal(ref, out)
+    # and against the independent oracle (rare fp-tie edge flips allowed)
+    bf = np.asarray(render(scene, cfg.replace(mode="bruteforce"), light))
+    same = (out == bf).all(axis=-1)
+    assert same.mean() > 0.995, same.mean()
+
+
 def test_ring_geometry_sharded_matches_bruteforce():
     scene = _cube_scene()
     cfg = default_config().replace(

@@ -1,0 +1,113 @@
+"""Golden tests against the reference's COMMITTED renders.
+
+The reference repo ships BMP renders under ``images/`` (SURVEY.md §4 item 1).
+Most were produced at older commits whose scene constants no longer match the
+checked-in code — ``images/generation/output0.bmp`` shows a gray ground and
+two cats with no trees, a scene the current source cannot produce.  The
+``images/tone_mapping/*`` ablations, however, are the CURRENT complex scene
+(simple_raytracer.cpp:553-618) rendered with the tone-map divisor variants of
+:390-393 and no gamma (the ``pow(color, 1.1)`` line postdates them):
+measured here, our render's background/silhouette mask agrees with
+``0_5_divide.bmp`` on 239,995 of 240,000 pixels, and with gamma=1.0 ~85 % of
+shared foreground pixels match within ±2/255 per channel — the remainder is
+exactly the two cats (``cat.obj`` is stripped from this mount, so they render
+as empty meshes here) plus their cast shadows.
+
+These tests pin that agreement as a regression bound: camera model, view
+matrix, perspective projection, scene constants, Phong, texture sampling,
+shadowing and tone mapping are all validated against renders the reference
+author committed — not merely against our own implementations.
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+import dataclasses  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from simple_raytracer_tpu.config import default_config, CameraConfig  # noqa: E402
+from simple_raytracer_tpu.render.renderer import render  # noqa: E402
+from simple_raytracer_tpu.scene import catalog  # noqa: E402
+
+from conftest import needs_assets, reference_asset  # noqa: E402
+
+BG = np.array([173, 216, 230])
+
+
+def _reference_image(rel):
+    return np.asarray(
+        Image.open(reference_asset(rel)).convert("RGB")).astype(np.int32)
+
+
+def _render_complex(reinhard_offset: float) -> np.ndarray:
+    """Complex scene, angle 0, reference bake mode, 600x400 — the exact frame
+    the tone-mapping ablations were rendered from (gamma predates them)."""
+    sm, _, light = catalog.complex_scene("/root/reference", 0.0,
+                                         bake_view=True)
+    scene = sm.build()
+    cfg = default_config().replace(
+        mode="bvh", camera=CameraConfig(width=600, height=400))
+    cfg = cfg.replace(shading=dataclasses.replace(
+        cfg.shading, reinhard_offset=reinhard_offset, gamma=1.0))
+    return np.asarray(render(scene, cfg, jnp.asarray(light))).astype(np.int32)
+
+
+def _masks(ours, ref):
+    obg = np.all(ours == BG, axis=-1)
+    rbg = np.all(ref == BG, axis=-1)
+    return obg, rbg
+
+
+@pytest.fixture(scope="module")
+def golden_pair():
+    """(our render, reference render) for the 0.5-divisor ablation."""
+    return _render_complex(0.5), _reference_image(
+        "images/tone_mapping/0_5_divide.bmp")
+
+
+@needs_assets
+def test_silhouette_matches_committed_render(golden_pair):
+    """The background mask (sky vs geometry silhouette) must agree almost
+    pixel-exactly: this pins camera position/rotation, the GLM transposed view
+    convention, focal-400 projection, and every object transform against an
+    image the reference author rendered.  (Cats are interior — they never
+    touch the sky.)  Measured disagreement: 5 px of 240,000."""
+    ours, ref = golden_pair
+    obg, rbg = _masks(ours, ref)
+    agree = float((obg == rbg).mean())
+    assert agree > 0.9999, f"silhouette agreement {agree:.5f}"
+
+
+@needs_assets
+def test_foreground_color_matches_committed_render(golden_pair):
+    """Shared-foreground pixels within ±2/255: ≥ 80 % (measured 84.8 %; the
+    gap is the missing cats + their cast shadows)."""
+    ours, ref = golden_pair
+    obg, rbg = _masks(ours, ref)
+    both = ~obg & ~rbg
+    d = np.abs(ours - ref).max(axis=-1)
+    frac = float((d[both] <= 2).mean())
+    assert frac > 0.80, f"foreground tol-2 agreement {frac:.3f}"
+
+
+@needs_assets
+def test_tonemap_ablation_tracks_reference():
+    """Rendering with divisor 1.0 must match ``1_divide.bmp`` closely AND
+    match it better than the 0.5-divisor image does — i.e. our tone-mapping
+    ablation reproduces the reference's (simple_raytracer.cpp:390-393)."""
+    ours = _render_complex(1.0)
+    ref_match = _reference_image("images/tone_mapping/1_divide.bmp")
+    ref_other = _reference_image("images/tone_mapping/0_5_divide.bmp")
+
+    def tol2(ref):
+        obg, rbg = _masks(ours, ref)
+        both = ~obg & ~rbg
+        return float((np.abs(ours - ref).max(-1)[both] <= 2).mean())
+
+    frac_match, frac_other = tol2(ref_match), tol2(ref_other)
+    assert frac_match > 0.80, f"1_divide agreement {frac_match:.3f}"
+    assert frac_match > frac_other + 0.3, (
+        f"ablation not discriminating: {frac_match:.3f} vs {frac_other:.3f}")
