@@ -31,8 +31,13 @@ class PreparedScene:
     leaf_count: jnp.ndarray   # [M]
     block_min: jnp.ndarray    # [NB, 3]
     block_max: jnp.ndarray    # [NB, 3]
-    gram: jnp.ndarray         # [NB, 16, 4*block] — packed MT factors; row 10
-                              # carries per-triangle object ids (tiled path)
+    gram: jnp.ndarray         # [16, (NB+PAD)*4*block] — packed MT factors in
+                              # FLAT column-block layout: block b owns columns
+                              # [b*4B, (b+1)*4B).  One DMA descriptor fetches
+                              # any run of consecutive blocks (the kernel's
+                              # window super-step); row 10 carries per-triangle
+                              # object ids.  PAD tail blocks are zero
+                              # (det=0 -> never a hit) so windows may overhang.
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
@@ -119,16 +124,25 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
     # precompute the tiled path's packed MT Gram blocks + per-block object
-    # ids here (host numpy) so per-frame renders skip the packing entirely
+    # ids here (host numpy) so per-frame renders skip the packing entirely.
+    # FLAT layout [16, (nb+PAD)*4*bs]: one DMA descriptor per window of
+    # consecutive blocks (kernels/tiled.py).  The round-1 per-block layout
+    # needed one descriptor per block and the scalar core serialized on
+    # descriptor issue (measured: block=32 ran 5x slower than block=128
+    # purely from 4x the descriptors — DESIGN.md).
     from ..ops.intersect import pack_mt_gram_np
+    from ..kernels.tiled import GRAM_PAD_BLOCKS
     G = pack_mt_gram_np(vc)                             # [Tp, 10, 4]
     Gt = G.reshape(nb, bs, 10, 4).transpose(0, 2, 3, 1).reshape(nb, 10, 4 * bs)
-    gram = np.zeros((nb, 16, 4 * bs), np.float32)
-    gram[:, :10] = Gt
-    # per-triangle object ids ride in Gram row 10 (columns 0:bs): the ray
-    # feature vector is zero there, so the contraction is unaffected, and the
-    # occlusion kernel reads them from the same VMEM buffer (no second DMA)
-    gram[:, 10, :bs] = padded.tri_obj.astype(np.float32).reshape(nb, bs)
+    gram = np.zeros((16, (nb + GRAM_PAD_BLOCKS) * 4 * bs), np.float32)
+    gram[:10, :nb * 4 * bs] = Gt.transpose(1, 0, 2).reshape(10, nb * 4 * bs)
+    # per-triangle object ids ride in Gram row 10 (first bs columns of each
+    # block): the ray feature vector is zero there, so the contraction is
+    # unaffected, and the occlusion kernel reads them from the same VMEM
+    # buffer (no second DMA)
+    ids = padded.tri_obj.astype(np.float32).reshape(nb, bs)
+    gram[10, :nb * 4 * bs] = np.concatenate(
+        [ids, np.zeros((nb, 3 * bs), np.float32)], axis=1).reshape(-1)
 
     ps = PreparedScene(
         scene=padded,

@@ -14,14 +14,26 @@ The TPU performance path.  Design (SURVEY.md §7, DESIGN.md):
   Triangles are BVH-reordered so consecutive triangles are spatially coherent
   (accel/bvh.py:triangle_blocks); each RAY TILE (2D pixel tile) culls blocks
   with a conservative interval slab test (tile ray bounds × block AABB).
-  Tiles whose visible set fits ``cull_maxv`` walk an EXACT compacted block
-  list (the canonical scalar-prefetch block-sparse pattern — the id table
-  lives in SMEM); heavier tiles (a few percent: silhouette/through-body
-  tiles) fall back to the covering contiguous range.  Manual HBM→SMEM id DMA
-  was tried and faulted under Mosaic; scalar prefetch is the supported path.
-* **Double-buffered DMA.**  Inside the kernel, each tile walks its range
-  with `pltpu.make_async_copy` HBM→VMEM, overlapping the next block's fetch
-  with the current matmul.  SRT_TILED_SYNC=1 disables the overlap (debug).
+* **Window-coalesced DMA.**  BVH preorder makes a tile's visible blocks
+  cluster into short RUNS of consecutive block ids.  The cull pass greedily
+  covers the visible set with fixed-width WINDOWS of ``WB`` consecutive
+  blocks; the Gram factors live in a FLAT column-block layout
+  (accel/prepared.py), so each window is ONE `pltpu.make_async_copy`
+  descriptor — the round-1 per-block copies serialized the scalar core on
+  descriptor issue (measured: 4x the descriptors => 5x the runtime,
+  DESIGN.md).  Windows may cover interleaved invisible blocks: harmless by
+  construction — culling is conservative, so an "invisible" block can never
+  produce a valid hit for this tile's rays, and extra tested blocks only
+  waste matmul columns.
+  Tiles whose window set fits ``cull_maxv`` walk an EXACT compacted window
+  list ordered front-to-back (the canonical scalar-prefetch block-sparse
+  pattern — the table lives in SMEM); heavier tiles (rare: whole-object
+  silhouette tiles) fall back to windows stepped over the covering
+  contiguous range.  Manual HBM→SMEM id DMA was tried and faulted under
+  Mosaic; scalar prefetch is the supported path.
+* **Double-buffered DMA.**  Each tile walks its windows overlapping the next
+  window's fetch with the current matmul.  SRT_TILED_SYNC=1 disables the
+  overlap (debug).
 * Misses return t=+inf / idx=-1, matching ops/intersect.py conventions.
 
 Falls back to interpret mode off-TPU so the same code is CPU-testable.
@@ -62,17 +74,23 @@ def _interpret() -> bool:
 # Host/jnp-side packing
 # ---------------------------------------------------------------------------
 
+GRAM_PAD_BLOCKS = 32    # zero tail blocks in the flat Gram layout so a
+                        # window starting at the last real block stays in
+                        # bounds (zeros => det 0 => never a hit)
+
+
 def pack_gram_blocks(verts_cart: jnp.ndarray, block: int) -> jnp.ndarray:
-    """[T,3,3] (T a multiple of ``block``) -> Gt [NB, F_DIM, 4*block] with
-    column groups det | u_num | v_num | t_num, each ``block`` wide.
-    (accel/prepared.py precomputes this on host; kept for ad-hoc use.)"""
+    """[T,3,3] (T a multiple of ``block``) -> flat Gram
+    [F_DIM, (NB+GRAM_PAD_BLOCKS)*4*block]: block b owns the column range
+    [b*4B, (b+1)*4B) with groups det | u_num | v_num | t_num, each ``block``
+    wide.  (accel/prepared.py precomputes this on host; kept for ad-hoc
+    use/tests.)"""
     G = isect.pack_mt_gram(verts_cart)                  # [T, 10, 4]
     T = G.shape[0]
     NB = T // block
-    Gt = G.reshape(NB, block, 10, 4).transpose(0, 2, 3, 1)   # [NB,10,4,B]
-    Gt = Gt.reshape(NB, 10, 4 * block)
-    pad = jnp.zeros((NB, F_DIM - 10, 4 * block), Gt.dtype)
-    return jnp.concatenate([Gt, pad], axis=1)
+    Gt = G.reshape(NB, block, 10, 4).transpose(2, 0, 3, 1)   # [10,NB,4,B]
+    flat = jnp.zeros((F_DIM, (NB + GRAM_PAD_BLOCKS) * 4 * block), G.dtype)
+    return flat.at[:10, :NB * 4 * block].set(Gt.reshape(10, NB * 4 * block))
 
 
 def tile_permutation(width: int, height: int, tile_px: int):
@@ -136,44 +154,76 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     return lo, cnt
 
 
+def _window_starts(visible: jnp.ndarray, WB: int) -> jnp.ndarray:
+    """Greedy cover of each row's visible set with windows of WB consecutive
+    blocks: block i starts a window iff it is visible and not already covered
+    by the previous window.  Inherently sequential -> lax.scan over the block
+    axis (NB steps of [n]-wide VPU work: negligible next to the visibility
+    matrix itself).  Returns bool [n, NB]."""
+    n, NB = visible.shape
+    idxs = jnp.arange(NB, dtype=jnp.int32)
+
+    def step(next_free, x):
+        i, vis = x
+        start = vis & (i >= next_free)
+        return jnp.where(start, i + WB, next_free), start
+
+    _, starts = jax.lax.scan(
+        step, jnp.zeros((n,), jnp.int32), (idxs, visible.T))
+    return starts.T
+
+
 def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
-                      maxv: int):
-    """List culling with range fallback.
+                      maxv: int, block: int):
+    """Window-list culling with range fallback.
 
-    Same conservative visibility as :func:`cull_blocks`, but tiles whose
-    visible count fits ``maxv`` get an EXACT compacted block list (ids ride
-    into SMEM via scalar prefetch); heavier tiles (a few percent — whole-
-    object silhouette tiles) fall back to the covering contiguous range.
+    Same conservative visibility as :func:`cull_blocks`, compressed into
+    fixed-width WINDOWS of ``WB`` consecutive blocks (one DMA descriptor
+    each — see module docstring).  Tiles whose window count fits ``maxv``
+    get an EXACT compacted window list ordered front-to-back (start ids ride
+    into SMEM via scalar prefetch); heavier tiles fall back to windows
+    stepped over the covering contiguous range.
 
-    Returns (ids [n, maxv] i32, aux [n, 4] i32) with aux rows
-    (lo, range_cnt, list_cnt, use_list).
+    Returns the fused plan table [n, PLAN_W] i32 with aux columns
+    (lo, range_cnt, win_cnt, use_list, 0...) then packed window entries.
     """
     visible, tlo, n = _visibility(o, d, tile, block_min, block_max)
     NB = visible.shape[1]
-    # plan entries pack the block id into 16 bits (id | bound16 << 16)
+    # plan entries pack the window-start block id into 16 bits
     assert NB <= 65536, (
         f"{NB} triangle blocks exceed the 16-bit plan-entry id space; "
         "use range culling (cull_maxv=0) or a larger block_size")
+    WB = _wb(block)
     idx = jnp.arange(NB, dtype=jnp.int32)
     first = jnp.min(jnp.where(visible, idx, NB), axis=-1)
     last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
     range_cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
     lo = jnp.where(range_cnt > 0, first, 0).astype(jnp.int32)
 
-    list_cnt = visible.sum(axis=-1).astype(jnp.int32)
-    maxv = min(maxv, PLAN_MAXV)
-    use_list = (list_cnt <= maxv).astype(jnp.int32)
+    starts = _window_starts(visible, WB)                          # [n, NB]
+    # window entry bound: min conservative entry-t over the window's VISIBLE
+    # member blocks (invisible members can never hit, so they don't bound)
+    INF = jnp.float32(jnp.inf)
+    tv = jnp.where(visible, tlo, INF)
+    tvp = jnp.concatenate([tv, jnp.full((n, WB), INF, tv.dtype)], axis=1)
+    wmin = tvp[:, :NB]
+    for k in range(1, WB):
+        wmin = jnp.minimum(wmin, tvp[:, k:k + NB])
 
-    # order entries front-to-back: bucket each visible block by its
-    # conservative entry-t (relative to the tile's range), and pack the
-    # truncated 16-bit float bound so the kernel can stop once every ray's
-    # best hit beats the next entry's bound
-    tmin = jnp.min(jnp.where(visible, tlo, jnp.inf), axis=-1)     # [n]
-    tmax = jnp.max(jnp.where(visible, tlo, -jnp.inf), axis=-1)
+    win_cnt = starts.sum(axis=-1).astype(jnp.int32)
+    maxv = min(maxv, PLAN_MAXV)
+    use_list = (win_cnt <= maxv).astype(jnp.int32)
+
+    # order entries front-to-back: bucket each window by its entry bound
+    # (relative to the tile's range), and pack the truncated 16-bit float
+    # bound so the kernel can stop once every ray's best hit beats the next
+    # entry's bound
+    tmin = jnp.min(jnp.where(starts, wmin, INF), axis=-1)         # [n]
+    tmax = jnp.max(jnp.where(starts, wmin, -INF), axis=-1)
     tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
     qscale = jnp.maximum(tmax - tmin, 1e-20) / T_BUCKETS
-    qb = jnp.clip(((tlo - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
+    qb = jnp.clip(((wmin - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
                   0, T_BUCKETS - 1)
     # the packed bound is the BUCKET FLOOR, not the entry's own t: within a
     # bucket entries are in block-index order, so only the floor lower-bounds
@@ -187,11 +237,11 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     # bucket-ordered compaction by scatter (argsort would be a per-row sort —
     # hundreds of ms on TPU at 8k tiles x 500 blocks)
     bucket_cnt = jnp.stack(
-        [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
+        [(starts & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
     base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
     slot = jnp.full((n, NB), PLAN_MAXV, jnp.int32)
     for b in range(T_BUCKETS):
-        mb = visible & (qb == b)
+        mb = starts & (qb == b)
         pos = jnp.cumsum(mb, axis=-1) - 1
         slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
     slot = jnp.where(slot < PLAN_MAXV, slot, PLAN_MAXV)
@@ -201,7 +251,7 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         packed, mode="drop")
     z = jnp.zeros_like(lo)
     aux = jnp.stack(
-        [lo, range_cnt, jnp.minimum(list_cnt, maxv), use_list,
+        [lo, range_cnt, jnp.minimum(win_cnt, maxv), use_list,
          z, z, z, z], axis=-1)
     return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
 
@@ -291,93 +341,102 @@ def _mt_epilogue(q, B, eps, extra_valid):
     return jnp.where(valid, t, jnp.inf)
 
 
-PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "256"))
+PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "128"))
                     # plan-table width (multiple of 128: SMEM lane padding)
-# cols 0-7: lo, range_cnt, list_cnt, use_list, 0, 0, 0, 0;
-# cols 8..: packed block entries  id | (bound16 << 16), bound-ascending, where
-# bound16 = top 16 bits of the f32 conservative entry-t (IEEE ordering: for
-# non-negative floats, bit-pattern comparison == value comparison, and
-# truncation rounds the bound DOWN, keeping the break conservative).
+# cols 0-7: lo, range_cnt, win_cnt, use_list, 0, 0, 0, 0;
+# cols 8..: packed WINDOW entries  start_block | (bound16 << 16),
+# bound-ascending, where bound16 = top 16 bits of the f32 conservative
+# entry-t (IEEE ordering: for non-negative floats, bit-pattern comparison ==
+# value comparison, and truncation rounds the bound DOWN, keeping the break
+# conservative).
 PLAN_AUX = 8
 PLAN_MAXV = PLAN_W - PLAN_AUX
 T_BUCKETS = 8
 
 
-def _tile_plan(plan_ref, i):
+def _tile_plan(plan_ref, i, WB):
     """Per-tile work plan from the fused scalar-prefetch table [n, PLAN_W]:
-    block count, a k -> block-id mapping (exact list when it fit, covering
-    range else), and a conservative entry-t lower bound per position (+inf
-    when unavailable).  Fusing aux + packed ids into one 128-wide row costs
-    nothing (SMEM lane padding) and keeps exactly one prefetch operand."""
+    window count, a k -> window-start mapping (exact list when it fit,
+    WB-strided steps over the covering range else), and a conservative
+    entry-t lower bound per position.  Fusing aux + packed entries into one
+    128-wide row costs nothing (SMEM lane padding) and keeps exactly one
+    prefetch operand."""
     lo = plan_ref[i, 0]
     use_list = plan_ref[i, 3] == 1
-    cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
+    cnt = jnp.where(use_list, plan_ref[i, 2],
+                    (plan_ref[i, 1] + WB - 1) // WB)
 
     def entry(k):
         return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
 
-    def bid(k):
+    def start(k):
         # clamp the list index: in range mode k can exceed maxv and both
         # sides of the select are evaluated
-        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k)
+        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k * WB)
 
     def bound16(k):
         # truncated-f32 entry-t bound, comparable in INT space against the
         # high 16 bits of any non-negative f32 (IEEE ordering); valid only
         # in list mode where entries are bound-ascending
         return jax.lax.shift_right_logical(entry(k), 16)
-    return cnt, bid, use_list, bound16
+    return cnt, start, use_list, bound16
 
 
-# One super-step = one [TILE_R,16]@[16,SUPER_COLS] contraction over KB
-# blocks (KB small matmuls would be latency-bound).  SUPER_COLS is fixed so
-# finer blocks (tighter culling) keep the same MXU width per step.
+# One super-step = one [TILE_R,16]@[16,SUPER_COLS] contraction over a window
+# of WB consecutive blocks, fetched by ONE DMA descriptor from the flat Gram
+# layout.  SUPER_COLS is fixed so finer blocks (tighter culling) keep the
+# same MXU width and DMA size per step.
 SUPER_COLS = int(_os.environ.get("SRT_TILED_SUPER_COLS", "4096"))
 
 
-def _kb(block: int) -> int:
-    return max(SUPER_COLS // (4 * block), 1)
+def _wb(block: int) -> int:
+    """Blocks per window."""
+    wb = max(SUPER_COLS // (4 * block), 1)
+    assert wb <= GRAM_PAD_BLOCKS, (
+        f"window of {wb} blocks overruns the {GRAM_PAD_BLOCKS}-block Gram "
+        "tail pad; lower SRT_TILED_SUPER_COLS or raise GRAM_PAD_BLOCKS")
+    return wb
 
 
-def _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
-    """Start the KB block fetches of super-step j into gbuf[slot] columns.
+def _super_dma(G_hbm, gbuf, sem_g, start, slot, j, B):
+    """Start the ONE window fetch of super-step j into gbuf[slot].
 
-    Unconditional (tail blocks clamp to a valid id and are masked in the
-    epilogue): a @pl.when around every DMA serializes the scalar core.
-    """
-    KB = _kb(B)
-    nb = G_hbm.shape[0]
-    for i in range(KB):
-        pltpu.make_async_copy(
-            G_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
-            gbuf.at[slot, :, pl.ds(i * 4 * B, 4 * B)],
-            sem_g.at[slot, i]).start()
+    Unconditional (invalid steps clamp to a valid start; culling is
+    conservative so extra real blocks cannot produce wrong hits and the
+    zero tail pad has det 0): a @pl.when around the DMA serializes the
+    scalar core."""
+    WB = _wb(B)
+    nbw = G_hbm.shape[1] // (4 * B) - WB      # last legal window start
+    s = jnp.clip(start(j), 0, nbw)
+    pltpu.make_async_copy(
+        G_hbm.at[:, pl.ds(s * 4 * B, 4 * B * WB)],
+        gbuf.at[slot],
+        sem_g.at[slot]).start()
 
 
-def _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B):
-    KB = _kb(B)
-    nb = G_hbm.shape[0]
-    for i in range(KB):
-        pltpu.make_async_copy(
-            G_hbm.at[jnp.minimum(bid(j * KB + i), nb - 1)],
-            gbuf.at[slot, :, pl.ds(i * 4 * B, 4 * B)],
-            sem_g.at[slot, i]).wait()
+def _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B):
+    WB = _wb(B)
+    nbw = G_hbm.shape[1] // (4 * B) - WB
+    s = jnp.clip(start(j), 0, nbw)
+    pltpu.make_async_copy(
+        G_hbm.at[:, pl.ds(s * 4 * B, 4 * B * WB)],
+        gbuf.at[slot],
+        sem_g.at[slot]).wait()
 
 
 def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    cnt, bid, use_list, bound16 = _tile_plan(plan_ref, i)
+    B = block
+    WB = _wb(B)
+    ns, start, use_list, bound16 = _tile_plan(plan_ref, i, WB)
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
-    B = block
-    KB = _kb(B)
-    ns = (cnt + KB - 1) // KB                            # super-steps
 
     if not _SYNC_DMA:
-        @pl.when(cnt > 0)
+        @pl.when(ns > 0)
         def _():
-            _super_dma(G_hbm, gbuf, sem_g, bid, 0, 0, cnt, B)
+            _super_dma(G_hbm, gbuf, sem_g, start, 0, 0, B)
 
     def cond(state):
         j, done, best_t, best_i = state
@@ -388,35 +447,38 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            _super_dma(G_hbm, gbuf, sem_g, bid, 0, j, cnt, B)
+            _super_dma(G_hbm, gbuf, sem_g, start, 0, j, B)
         else:
             @pl.when(j + 1 < ns)
             def _():
-                _super_dma(G_hbm, gbuf, sem_g, bid, (j + 1) % 2, j + 1, cnt, B)
+                _super_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1, B)
 
-        _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B)
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=_PRECISION)             # [TILE_R, KB*4B]
+                       precision=_PRECISION)             # [TILE_R, WB*4B]
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, B), 1)
-        for kk in range(KB):
-            k = j * KB + kk
+        s = start(j)
+        for kk in range(WB):
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            t = _mt_epilogue(q, B, eps, k < cnt)
+            # every block in the window is testable: real blocks give exact
+            # MT results whether or not they were individually visible, and
+            # the zero tail pad has det 0 (never valid)
+            t = _mt_epilogue(q, B, eps, True)
             # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
             # cannot reshape across the sublane/lane boundary
             bt = jnp.min(t, axis=1, keepdims=True)       # [TILE_R, 1]
             bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
             better = bt < best_t
             best_t = jnp.where(better, bt, best_t)
-            best_i = jnp.where(better & (bj < B), bid(k) * B + bj, best_i)
+            best_i = jnp.where(better & (bj < B), (s + kk) * B + bj, best_i)
         # front-to-back break: entries ascend in conservative entry t, so
         # once every ray has a hit closer than the next entry's bound, no
-        # remaining block can improve any ray in the tile.  Compared in int
+        # remaining window can improve any ray in the tile.  Compared in int
         # space (IEEE: non-negative f32 order == bit order; Mosaic has no
         # scalar float bitcast).
         worst_bits = jnp.max(jax.lax.shift_right_logical(
             jax.lax.bitcast_convert_type(best_t, jnp.int32), 16))
-        done = use_list & (worst_bits < bound16((j + 1) * KB))
+        done = use_list & (worst_bits < bound16(j + 1))
         return j + 1, done, best_t, best_i
 
     init = (jnp.int32(0), jnp.bool_(False),
@@ -428,7 +490,7 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         # drain the prefetched super-step left in flight by an early break
         @pl.when(j_end < ns)
         def _():
-            _super_wait(G_hbm, gbuf, sem_g, bid, j_end % 2, j_end, cnt, B)
+            _super_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, B)
 
     t_ref[0] = best_t
     idx_ref[0] = best_i
@@ -441,29 +503,28 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     Per-triangle object ids ride in Gram row 10 (prepare() packs them), so
     the same DMA stream feeds both the contraction and the self-exclusion."""
     i = pl.program_id(0)
-    cnt, bid, use_list, _bound16 = _tile_plan(plan_ref, i)
+    B = block
+    WB = _wb(B)
+    ns, start, use_list, _bound16 = _tile_plan(plan_ref, i, WB)
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
-    B = block
-    KB = _kb(B)
-    ns = (cnt + KB - 1) // KB
 
     def start_super(slot, j):
-        _super_dma(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        _super_dma(G_hbm, gbuf, sem_g, start, slot, j, B)
 
     def wait_super(slot, j):
-        _super_wait(G_hbm, gbuf, sem_g, bid, slot, j, cnt, B)
+        _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B)
 
     if not _SYNC_DMA:
-        @pl.when(cnt > 0)
+        @pl.when(ns > 0)
         def _():
             start_super(0, 0)
 
     def cond(state):
         j, found, done = state
         # early exit once every ray in the tile is occluded — shadow tiles
-        # saturate fast, and any further blocks are wasted DMA + matmul
+        # saturate fast, and any further windows are wasted DMA + matmul
         return (j < ns) & ~done
 
     def body(state):
@@ -479,12 +540,11 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
 
         wait_super(slot, j)
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=_PRECISION)             # [TILE_R, KB*4B]
-        for kk in range(KB):
-            k = j * KB + kk
+                       precision=_PRECISION)             # [TILE_R, WB*4B]
+        for kk in range(WB):
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
             objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
-            occm = _mt_occlusion(q, B, eps, k < cnt, no_max_t) & \
+            occm = _mt_occlusion(q, B, eps, True, no_max_t) & \
                 (objs != self_obj)
             occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
             # carry f32, not bool: Mosaic cannot legalize i1 loop carries
@@ -571,8 +631,8 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * _kb(block)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, _kb(block))),
+                pltpu.VMEM((2, F_DIM, 4 * block * _wb(block)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         return pl.pallas_call(
@@ -614,8 +674,8 @@ def tiled_anyhit(F, self_obj, plan, Gt,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * _kb(block)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, _kb(block))),
+                pltpu.VMEM((2, F_DIM, 4 * block * _wb(block)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         (found,) = pl.pallas_call(
@@ -643,7 +703,8 @@ def _cull(origin, direction, tile, prep, maxv):
         maxv = 0
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
-                                 prep.block_min, prep.block_max, maxv)
+                                 prep.block_min, prep.block_max, maxv,
+                                 prep.block_size)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max)
     n = lo.shape[0]
