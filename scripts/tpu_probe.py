@@ -44,7 +44,8 @@ def build(width, height, shadows):
         mode="tiled",
         camera=CameraConfig(width=width, height=height, focal=focal),
         light=LightConfig(enable_shadows=shadows),
-        bvh=BVHConfig(split="sah"))
+        bvh=BVHConfig(split="sah", block_size=int(
+            os.environ.get("SRT_BLOCK_SIZE", "128"))))
     prep = prepare(scene, cfg)
     return prep, cfg
 

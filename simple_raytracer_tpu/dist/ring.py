@@ -56,14 +56,45 @@ def _empty_record(R, dtype=jnp.float32):
     }
 
 
-def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
+def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
+    """Pick the per-rotation local intersector.
+
+    Shards produced by :func:`shard_geometry` with ``culled=True`` carry
+    per-shard triangle blocks + flat Gram columns, so the SAME Pallas
+    window-culled kernel that powers single-chip rendering runs inside the
+    ring schedule — per-step cost scales with the rays' visible blocks, not
+    with shard size (the round-1 dense Gram brute force was O(R x Tl) per
+    rotation, exactly wrong for the huge-scene regime this mode exists for).
+    Plain shards fall back to the dense MXU Gram contraction.
+    """
+    if "gram" in shard:
+        from ..kernels import tiled as tk
+        bs = tk.BlockSet.from_arrays(shard["block_min"], shard["block_max"],
+                                     shard["gram"])
+
+        def local_hit(o, d):
+            # the kernel has no VJP: freeze it; ring_nearest_hit restores
+            # differentiability by the fixed-topology recompute afterwards
+            t, li = tk.tiled_hits(bs, lax.stop_gradient(o),
+                                  lax.stop_gradient(d), tile, eps, maxv)
+            return lax.stop_gradient(t), li
+        return local_hit, True
+
+    G_local = isect.pack_mt_gram(shard["verts_cart"])
+    return (lambda o, d: _local_nearest(shard["verts_cart"], o, d, eps,
+                                        G_local)), False
+
+
+def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
+                     tile: int = 256, maxv: int = 64):
     """Global nearest hit with triangle-sharded geometry.
 
     Args:
       shard: dict with the LOCAL triangle shard —
         verts_cart [Tl,3,3], vnormals [Tl,3,3], uvs [Tl,3,2],
         tri_obj [Tl], tri_tex [Tl] (equal Tl per device; pad with degenerate
-        triangles).
+        triangles); optionally block_min/block_max/gram for the culled-kernel
+        path (shard_geometry(culled=True)).
       o, d: [R, 3] this device's home ray block.
       axis: mesh axis name the geometry is sharded over.
 
@@ -73,13 +104,11 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
     n = lax.axis_size(axis)
     R = o.shape[0]
     perm = [(i, (i + 1) % n) for i in range(n)]
-    # Gram factors of the resident shard: computed ONCE, reused for all n
-    # rotating ray blocks
-    G_local = isect.pack_mt_gram(shard["verts_cart"])
+    local_hit, used_kernel = _local_hit_fn(shard, eps, tile, maxv)
 
     def step(carry, _):
         o, d, best_t, rec = carry
-        t, li = _local_nearest(shard["verts_cart"], o, d, eps, G_local)
+        t, li = local_hit(o, d)
         better = t < best_t
         bv = better[:, None, None]
         rec = {
@@ -100,30 +129,56 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12):
         (o, d, jnp.full((R,), jnp.inf, o.dtype), _empty_record(R, o.dtype)))
     (o2, d2, t, rec), _ = lax.scan(step, init, None, length=n)
     # n rotations of +1 bring every block back to its home device
+    if used_kernel:
+        # fixed-topology differentiable recompute (diff/render.py pattern):
+        # the kernel's t was gradient-stopped, but the winning triangle's
+        # vertices rode home in the record through differentiable gathers and
+        # ppermutes — recomputing MT at the frozen winner restores d(t)/d(verts)
+        t_rec = isect.moller_trumbore(o, d, rec["tri_v"], eps)
+        t = jnp.where(jnp.isfinite(t) & jnp.isfinite(t_rec), t_rec, t)
     return t, rec
 
 
 def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
-                       eps: float = 1e-12, no_max_t: bool = True):
+                       eps: float = 1e-12, no_max_t: bool = True,
+                       hit=None, tile: int = 256, maxv: int = 64):
     """Shadow predicate under geometry sharding: ANY hit (t >= 0, no max-t —
     the reference quirk, simple_raytracer.cpp:321-342) on a triangle of a
-    DIFFERENT object, across all shards."""
+    DIFFERENT object, across all shards.  Culled shards route through the
+    Pallas any-hit kernel (self-exclusion object ids ride Gram row 10)."""
     n = lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    if "gram" in shard:
+        from ..kernels import tiled as tk
+        bs = tk.BlockSet.from_arrays(shard["block_min"], shard["block_max"],
+                                     shard["gram"])
+        sh_fn = tk.tiled_shadow_fn(bs, tile, eps, maxv, no_max_t)
+
+        def local_occ(o, d, self_obj, hitm):
+            return sh_fn(o, o + d, self_obj, hit=hitm)
+    else:
+        def local_occ(o, d, self_obj, hitm):
+            ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
+                                       shard["verts_cart"][None], eps)
+            occ = jnp.isfinite(ts) & \
+                (shard["tri_obj"][None, :] != self_obj[:, None])
+            if not no_max_t:
+                occ = occ & (ts <= 1.0)
+            return jnp.any(occ, axis=-1)
+
+    if hit is None:
+        hit = jnp.ones(o.shape[:1], jnp.bool_)
+
     def step(carry, _):
-        o, d, self_obj, found = carry
-        ts = isect.moller_trumbore(o[:, None, :], d[:, None, :],
-                                   shard["verts_cart"][None], eps)
-        occ = jnp.isfinite(ts) & (shard["tri_obj"][None, :] != self_obj[:, None])
-        if not no_max_t:
-            occ = occ & (ts <= 1.0)
-        found = found | jnp.any(occ, axis=-1)
-        carry = lax.ppermute((o, d, self_obj, found), axis, perm)
+        o, d, self_obj, hitm, found = carry
+        found = found | local_occ(o, d, self_obj, hitm)
+        carry = lax.ppermute((o, d, self_obj, hitm, found), axis, perm)
         return carry, None
 
-    init = (o, d, self_obj, match_vma(jnp.zeros(o.shape[:1], jnp.bool_), o))
-    (_, _, _, found), _ = lax.scan(step, init, None, length=n)
+    init = (o, d, self_obj, match_vma(hit, o),
+            match_vma(jnp.zeros(o.shape[:1], jnp.bool_), o))
+    (_, _, _, _, found), _ = lax.scan(step, init, None, length=n)
     return found
 
 
@@ -140,7 +195,7 @@ def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
     if cfg.light.enable_shadows:
         shadow_fn = lambda p, l, s, hit=None: ring_any_hit_other(
             shard, p, l - p, s, axis, cfg.mt_eps,
-            cfg.light.shadow_no_max_t)
+            cfg.light.shadow_no_max_t, hit=hit)
     radiance = integrator.shade_records(scene, cfg, rec, o, d, t, light_pos,
                                         shadow_fn)
     return radiance, jnp.isfinite(t)
@@ -189,7 +244,8 @@ def render_geometry_sharded(scene, cfg: RenderConfig, light_pos, mesh,
     f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis))))
+        out_specs=(P(axis), P(axis)),
+        check_vma=False))   # pallas-in-shard_map: see dist/sharding.py note
     radiance, hit = f(tables, shard, o, d,
                       jnp.asarray(light_pos, jnp.float32))
     radiance, hit = radiance[:R], hit[:R]
@@ -228,7 +284,8 @@ def render_composed(scene, cfg: RenderConfig, light_pos, mesh,
         body, mesh=mesh,
         in_specs=(P(), P(gp_axis), P((dp_axis, gp_axis)),
                   P((dp_axis, gp_axis)), P()),
-        out_specs=(P((dp_axis, gp_axis)), P((dp_axis, gp_axis)))))
+        out_specs=(P((dp_axis, gp_axis)), P((dp_axis, gp_axis))),
+        check_vma=False))   # pallas-in-shard_map: see dist/sharding.py note
     radiance, hit = f(tables, shard, o, d,
                       jnp.asarray(light_pos, jnp.float32))
     radiance, hit = radiance[:R], hit[:R]
@@ -237,14 +294,24 @@ def render_composed(scene, cfg: RenderConfig, light_pos, mesh,
                                      hit.reshape(H, W), cfg)
 
 
-def shard_geometry(scene, n: int):
+def shard_geometry(scene, n: int, culled: bool = True,
+                   block_size: int = 128, leaf_size: int = 8):
     """HOST helper: split the scene's triangle arrays into ``n`` equal shards
     (padded with degenerate triangles that never hit).  Returns arrays with a
-    leading device axis [n, Tl, ...] suitable for shard_map in_specs P('gp')."""
+    leading device axis [n, Tl, ...] suitable for shard_map in_specs P('gp').
+
+    With ``culled=True`` (default) each shard is additionally BVH-preordered
+    and equipped with triangle-block AABBs + flat Gram columns
+    (block_min/block_max/gram keys), so the ring schedule runs the window-
+    culled Pallas kernel per rotation instead of a dense R x Tl contraction.
+    """
     import numpy as np
     verts = np.asarray(scene.verts)
     T = verts.shape[0]
     Tl = -(-max(T, 1) // n)
+    # pad each shard to a block multiple so blocks never straddle shards
+    if culled:
+        Tl = -(-Tl // block_size) * block_size
     pad = n * Tl - T
 
     def pad0(a, fill):
@@ -262,10 +329,45 @@ def shard_geometry(scene, n: int):
         vpad = np.zeros((1, 3, 3), np.float32)
     vc_full = np.concatenate([vc, np.broadcast_to(vpad, (pad, 3, 3))], axis=0) \
         if pad else vc
-    return {
+    shard = {
         "verts_cart": vc_full.reshape(n, Tl, 3, 3).astype(np.float32),
         "vnormals": pad0(np.asarray(scene.vnormals), 0).reshape(n, Tl, 3, 3),
         "uvs": pad0(np.asarray(scene.uvs), 0).reshape(n, Tl, 3, 2),
         "tri_obj": pad0(np.asarray(scene.tri_obj), -1).reshape(n, Tl),
         "tri_tex": pad0(np.asarray(scene.tri_tex), -1).reshape(n, Tl),
     }
+    if not culled:
+        return shard
+
+    # per-shard BVH preorder (spatial coherence -> tight blocks), block
+    # AABBs and flat Gram columns — all host numpy, one device_put by the
+    # caller's jit boundary
+    from ..accel.bvh import build_bvh, triangle_blocks
+    from ..ops.intersect import pack_mt_gram_np
+    from ..kernels.tiled import GRAM_PAD_BLOCKS
+    nb = Tl // block_size
+    grams = np.zeros((n, 16, (nb + GRAM_PAD_BLOCKS) * 4 * block_size),
+                     np.float32)
+    bmins = np.zeros((n, nb, 3), np.float32)
+    bmaxs = np.zeros((n, nb, 3), np.float32)
+    for s in range(n):
+        vs = shard["verts_cart"][s]
+        flat = build_bvh(vs, leaf_size)
+        p = flat.perm
+        for k in ("verts_cart", "vnormals", "uvs", "tri_obj", "tri_tex"):
+            shard[k][s] = shard[k][s][p]
+        vs = shard["verts_cart"][s]
+        bmin, bmax, _ = triangle_blocks(vs, block_size)
+        bmins[s], bmaxs[s] = bmin, bmax
+        G = pack_mt_gram_np(vs)                          # [Tl, 10, 4]
+        Gt = G.reshape(nb, block_size, 10, 4).transpose(2, 0, 3, 1)
+        grams[s, :10, :nb * 4 * block_size] = Gt.reshape(
+            10, nb * 4 * block_size)
+        ids = shard["tri_obj"][s].astype(np.float32).reshape(nb, block_size)
+        grams[s, 10, :nb * 4 * block_size] = np.concatenate(
+            [ids, np.zeros((nb, 3 * block_size), np.float32)],
+            axis=1).reshape(-1)
+    shard["block_min"] = bmins
+    shard["block_max"] = bmaxs
+    shard["gram"] = grams
+    return shard

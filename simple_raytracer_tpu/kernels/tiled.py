@@ -59,6 +59,9 @@ F_DIM = 16          # ray feature rows, padded 10 -> 16 (f32 sublane tile 8)
 # Debug escape hatch: SRT_TILED_SYNC=1 disables the double-buffered DMA
 # overlap (each block fetch completes before compute starts).
 _SYNC_DMA = bool(_os.environ.get("SRT_TILED_SYNC"))
+# Perf probe: SRT_TILED_NO_BREAK=1 drops the front-to-back early-termination
+# test (a cross-lane reduction per loop iteration) to measure its cost.
+_NO_BREAK = bool(_os.environ.get("SRT_TILED_NO_BREAK"))
 # MXU precision for the MT contraction (HIGHEST=safest, HIGH=3-pass bf16).
 _PRECISION = {"default": jax.lax.Precision.DEFAULT,
               "high": jax.lax.Precision.HIGH,
@@ -456,29 +459,39 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B)
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
                        precision=_PRECISION)             # [TILE_R, WB*4B]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, B), 1)
         s = start(j)
+        # per-slice epilogues are ELEMENTWISE only (cheap); the expensive
+        # cross-lane reductions run ONCE over the whole window.  Blocks of a
+        # window are consecutive, so the window is one contiguous triangle
+        # range: global id = s*B + window lane.
+        NW = WB * B
+        ts = []
         for kk in range(WB):
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
             # every block in the window is testable: real blocks give exact
             # MT results whether or not they were individually visible, and
             # the zero tail pad has det 0 (never valid)
-            t = _mt_epilogue(q, B, eps, True)
-            # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
-            # cannot reshape across the sublane/lane boundary
-            bt = jnp.min(t, axis=1, keepdims=True)       # [TILE_R, 1]
-            bj = jnp.min(jnp.where(t == bt, lane, B), axis=1, keepdims=True)
-            better = bt < best_t
-            best_t = jnp.where(better, bt, best_t)
-            best_i = jnp.where(better & (bj < B), (s + kk) * B + bj, best_i)
+            ts.append(_mt_epilogue(q, B, eps, True))
+        t = jnp.concatenate(ts, axis=1)                  # [TILE_R, WB*B]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, NW), 1)
+        # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
+        # cannot reshape across the sublane/lane boundary
+        bt = jnp.min(t, axis=1, keepdims=True)           # [TILE_R, 1]
+        bj = jnp.min(jnp.where(t == bt, lane, NW), axis=1, keepdims=True)
+        better = bt < best_t
+        best_t = jnp.where(better, bt, best_t)
+        best_i = jnp.where(better & (bj < NW), s * B + bj, best_i)
         # front-to-back break: entries ascend in conservative entry t, so
         # once every ray has a hit closer than the next entry's bound, no
         # remaining window can improve any ray in the tile.  Compared in int
         # space (IEEE: non-negative f32 order == bit order; Mosaic has no
         # scalar float bitcast).
-        worst_bits = jnp.max(jax.lax.shift_right_logical(
-            jax.lax.bitcast_convert_type(best_t, jnp.int32), 16))
-        done = use_list & (worst_bits < bound16(j + 1))
+        if _NO_BREAK:
+            done = jnp.bool_(False)
+        else:
+            worst_bits = jnp.max(jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(best_t, jnp.int32), 16))
+            done = use_list & (worst_bits < bound16(j + 1))
         return j + 1, done, best_t, best_i
 
     init = (jnp.int32(0), jnp.bool_(False),
@@ -541,14 +554,18 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
         wait_super(slot, j)
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
                        precision=_PRECISION)             # [TILE_R, WB*4B]
+        # elementwise-only per slice; the cross-lane reduction runs ONCE per
+        # window on the [TILE_R, B] accumulator
+        occ_vec = jnp.zeros((TILE_R, B), jnp.float32)
         for kk in range(WB):
             q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
             objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
             occm = _mt_occlusion(q, B, eps, True, no_max_t) & \
                 (objs != self_obj)
-            occ = jnp.max(jnp.where(occm, 1.0, 0.0), axis=1, keepdims=True)
-            # carry f32, not bool: Mosaic cannot legalize i1 loop carries
-            found = jnp.maximum(found, occ)
+            occ_vec = jnp.maximum(occ_vec, jnp.where(occm, 1.0, 0.0))
+        occ = jnp.max(occ_vec, axis=1, keepdims=True)
+        # carry f32, not bool: Mosaic cannot legalize i1 loop carries
+        found = jnp.maximum(found, occ)
         return j + 1, found, jnp.min(found) > 0.0
 
     init = (jnp.int32(0), jnp.zeros((TILE_R, 1), jnp.float32),
@@ -693,6 +710,42 @@ def tiled_anyhit(F, self_obj, plan, Gt,
 # ---------------------------------------------------------------------------
 # Renderer front-end
 # ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+@jax.tree_util.register_pytree_node_class
+@_dc.dataclass
+class BlockSet:
+    """Minimal geometry bundle the tiled kernels consume: flat Gram columns +
+    per-block AABBs.  PreparedScene satisfies the same attribute protocol;
+    this container serves SHARD-LOCAL geometry (dist/ring.py runs the same
+    kernels on each resident triangle shard).
+
+    ``from_arrays`` derives the static block geometry from shapes alone, so
+    it can be called inside shard_map/jit bodies."""
+
+    block_min: jnp.ndarray    # [NB, 3]
+    block_max: jnp.ndarray    # [NB, 3]
+    gram: jnp.ndarray         # [16, (NB+GRAM_PAD_BLOCKS)*4*block]
+    num_blocks: int = 0
+    block_size: int = 128
+
+    def tree_flatten(self):
+        return ((self.block_min, self.block_max, self.gram),
+                (self.num_blocks, self.block_size))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_arrays(cls, block_min, block_max, gram):
+        nb = block_min.shape[0]
+        bs = gram.shape[1] // (4 * (nb + GRAM_PAD_BLOCKS))
+        return cls(block_min, block_max, gram, num_blocks=int(nb),
+                   block_size=int(bs))
+
 
 def _cull(origin, direction, tile, prep, maxv):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:

@@ -92,7 +92,8 @@ def test_ring_geometry_sharded_matches_bruteforce():
     f = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("gp"), P("gp"), P("gp"), P()),
-        out_specs=(P("gp"), P("gp"))))
+        out_specs=(P("gp"), P("gp")),
+        check_vma=False))   # culled ring runs pallas: see dist/sharding.py
     rad, hit = f(scene, shard, o, d, light)
 
     np.testing.assert_array_equal(np.asarray(ref_hit), np.asarray(hit))
