@@ -29,27 +29,37 @@ class PreparedScene:
     skip: jnp.ndarray         # [M]
     leaf_first: jnp.ndarray   # [M]
     leaf_count: jnp.ndarray   # [M]
-    block_min: jnp.ndarray    # [NB, 3]
+    block_min: jnp.ndarray    # [NB, 3] — CULL granularity AABBs (block_size
+                              # triangles each; finer than a page)
     block_max: jnp.ndarray    # [NB, 3]
-    gram: jnp.ndarray         # [16, (NB+PAD)*4*block] — packed MT factors in
-                              # FLAT column-block layout: block b owns columns
-                              # [b*4B, (b+1)*4B).  One DMA descriptor fetches
-                              # any run of consecutive blocks (the kernel's
-                              # window super-step); row 10 carries per-triangle
-                              # object ids.  PAD tail blocks are zero
-                              # (det=0 -> never a hit) so windows may overhang.
+    gram: jnp.ndarray         # [NP, 16, 4*page_tris] — packed MT factors in
+                              # PAGES of page_tris consecutive triangles with
+                              # page-level scalar grouping
+                              # [det | u_num | v_num | t_num], each page_tris
+                              # wide.  A page is the DMA/matmul unit: one
+                              # contiguous descriptor fetches it.  Row 10
+                              # carries per-triangle object ids (first
+                              # page_tris columns).
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
     num_triangles: int = dataclasses.field(default=0)   # real (unpadded) count
     max_leaf: int = dataclasses.field(default=8)
     depth: int = dataclasses.field(default=0)
-    block_size: int = dataclasses.field(default=128)
+    block_size: int = dataclasses.field(default=32)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
             "leaf_count", "block_min", "block_max", "gram")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size")
+
+    @property
+    def num_pages(self) -> int:
+        return int(self.gram.shape[0])
+
+    @property
+    def page_tris(self) -> int:
+        return int(self.gram.shape[2]) // 4
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._DYN),
@@ -58,6 +68,30 @@ class PreparedScene:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+def pack_pages_np(verts_cart, tri_obj, page_tris: int):
+    """HOST packer: [T,3,3] (+ int object ids [T]) -> Gram pages
+    [NP, 16, 4*page_tris] with page-level scalar grouping (T must be a
+    multiple of page_tris).  One page = one contiguous DMA descriptor + one
+    epilogue slice in kernels/tiled.py.  Object ids ride in row 10 (the ray
+    feature vector is zero there, so the contraction is unaffected, and the
+    occlusion kernel reads them from the same VMEM buffer — no second DMA).
+    """
+    import numpy as np
+    from ..ops.intersect import pack_mt_gram_np
+    v = np.asarray(verts_cart, np.float32)
+    T = v.shape[0]
+    assert T % page_tris == 0, (T, page_tris)
+    NP_ = T // page_tris
+    G = pack_mt_gram_np(v)                              # [T, 10, 4]
+    # page-level grouping: [NP, 10, 4, PT] -> columns det|u|v|t each PT wide
+    Gp = G.reshape(NP_, page_tris, 10, 4).transpose(0, 2, 3, 1)
+    gram = np.zeros((NP_, 16, 4 * page_tris), np.float32)
+    gram[:, :10] = Gp.reshape(NP_, 10, 4 * page_tris)
+    gram[:, 10, :page_tris] = np.asarray(tri_obj, np.float32).reshape(
+        NP_, page_tris)
+    return gram
 
 
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
@@ -91,12 +125,14 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
 
     scene = scene.reorder(flat.perm)
 
-    # pad triangles to a block multiple (+ leaf window slack) with degenerate
+    # pad triangles to a PAGE multiple (+ leaf window slack) with degenerate
     # copies of the last vertex: zero area (MT det = 0, never hits) and inside
     # the last block's AABB.
     bs = cfg.bvh.block_size
-    pad_to = max(-(-max(T, 1) // bs) * bs, T + flat.max_leaf)
-    pad_to = -(-pad_to // bs) * bs
+    pt = cfg.bvh.page_tris
+    assert pt % bs == 0, f"page_tris {pt} must be a block_size {bs} multiple"
+    pad_to = max(-(-max(T, 1) // pt) * pt, T + flat.max_leaf)
+    pad_to = -(-pad_to // pt) * pt
     pad = pad_to - T
     scene_np = {name: np.asarray(getattr(scene, name))
                 for name in Scene._ARRAY_FIELDS}
@@ -123,26 +159,9 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     vc = padded.verts[..., :3] / padded.verts[..., 3:4]
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
-    # precompute the tiled path's packed MT Gram blocks + per-block object
-    # ids here (host numpy) so per-frame renders skip the packing entirely.
-    # FLAT layout [16, (nb+PAD)*4*bs]: one DMA descriptor per window of
-    # consecutive blocks (kernels/tiled.py).  The round-1 per-block layout
-    # needed one descriptor per block and the scalar core serialized on
-    # descriptor issue (measured: block=32 ran 5x slower than block=128
-    # purely from 4x the descriptors — DESIGN.md).
-    from ..ops.intersect import pack_mt_gram_np
-    from ..kernels.tiled import GRAM_PAD_BLOCKS
-    G = pack_mt_gram_np(vc)                             # [Tp, 10, 4]
-    Gt = G.reshape(nb, bs, 10, 4).transpose(0, 2, 3, 1).reshape(nb, 10, 4 * bs)
-    gram = np.zeros((16, (nb + GRAM_PAD_BLOCKS) * 4 * bs), np.float32)
-    gram[:10, :nb * 4 * bs] = Gt.transpose(1, 0, 2).reshape(10, nb * 4 * bs)
-    # per-triangle object ids ride in Gram row 10 (first bs columns of each
-    # block): the ray feature vector is zero there, so the contraction is
-    # unaffected, and the occlusion kernel reads them from the same VMEM
-    # buffer (no second DMA)
-    ids = padded.tri_obj.astype(np.float32).reshape(nb, bs)
-    gram[10, :nb * 4 * bs] = np.concatenate(
-        [ids, np.zeros((nb, 3 * bs), np.float32)], axis=1).reshape(-1)
+    # precompute the tiled path's packed MT Gram pages + per-triangle object
+    # ids here (host numpy) so per-frame renders skip the packing entirely
+    gram = pack_pages_np(vc, np.asarray(padded.tri_obj), cfg.bvh.page_tris)
 
     ps = PreparedScene(
         scene=padded,

@@ -295,7 +295,8 @@ def render_composed(scene, cfg: RenderConfig, light_pos, mesh,
 
 
 def shard_geometry(scene, n: int, culled: bool = True,
-                   block_size: int = 128, leaf_size: int = 8):
+                   block_size: int = 32, page_tris: int = 128,
+                   leaf_size: int = 8):
     """HOST helper: split the scene's triangle arrays into ``n`` equal shards
     (padded with degenerate triangles that never hit).  Returns arrays with a
     leading device axis [n, Tl, ...] suitable for shard_map in_specs P('gp').
@@ -309,9 +310,10 @@ def shard_geometry(scene, n: int, culled: bool = True,
     verts = np.asarray(scene.verts)
     T = verts.shape[0]
     Tl = -(-max(T, 1) // n)
-    # pad each shard to a block multiple so blocks never straddle shards
+    # pad each shard to a PAGE multiple so pages never straddle shards
     if culled:
-        Tl = -(-Tl // block_size) * block_size
+        assert page_tris % block_size == 0
+        Tl = -(-Tl // page_tris) * page_tris
     pad = n * Tl - T
 
     def pad0(a, fill):
@@ -340,14 +342,13 @@ def shard_geometry(scene, n: int, culled: bool = True,
         return shard
 
     # per-shard BVH preorder (spatial coherence -> tight blocks), block
-    # AABBs and flat Gram columns — all host numpy, one device_put by the
-    # caller's jit boundary
+    # AABBs and Gram pages — all host numpy, one device_put by the caller's
+    # jit boundary
     from ..accel.bvh import build_bvh, triangle_blocks
-    from ..ops.intersect import pack_mt_gram_np
-    from ..kernels.tiled import GRAM_PAD_BLOCKS
+    from ..accel.prepared import pack_pages_np
     nb = Tl // block_size
-    grams = np.zeros((n, 16, (nb + GRAM_PAD_BLOCKS) * 4 * block_size),
-                     np.float32)
+    np_pages = Tl // page_tris
+    grams = np.zeros((n, np_pages, 16, 4 * page_tris), np.float32)
     bmins = np.zeros((n, nb, 3), np.float32)
     bmaxs = np.zeros((n, nb, 3), np.float32)
     for s in range(n):
@@ -359,14 +360,7 @@ def shard_geometry(scene, n: int, culled: bool = True,
         vs = shard["verts_cart"][s]
         bmin, bmax, _ = triangle_blocks(vs, block_size)
         bmins[s], bmaxs[s] = bmin, bmax
-        G = pack_mt_gram_np(vs)                          # [Tl, 10, 4]
-        Gt = G.reshape(nb, block_size, 10, 4).transpose(2, 0, 3, 1)
-        grams[s, :10, :nb * 4 * block_size] = Gt.reshape(
-            10, nb * 4 * block_size)
-        ids = shard["tri_obj"][s].astype(np.float32).reshape(nb, block_size)
-        grams[s, 10, :nb * 4 * block_size] = np.concatenate(
-            [ids, np.zeros((nb, 3 * block_size), np.float32)],
-            axis=1).reshape(-1)
+        grams[s] = pack_pages_np(vs, shard["tri_obj"][s], page_tris)
     shard["block_min"] = bmins
     shard["block_max"] = bmaxs
     shard["gram"] = grams

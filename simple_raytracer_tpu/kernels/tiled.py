@@ -14,26 +14,28 @@ The TPU performance path.  Design (SURVEY.md §7, DESIGN.md):
   Triangles are BVH-reordered so consecutive triangles are spatially coherent
   (accel/bvh.py:triangle_blocks); each RAY TILE (2D pixel tile) culls blocks
   with a conservative interval slab test (tile ray bounds × block AABB).
-* **Window-coalesced DMA.**  BVH preorder makes a tile's visible blocks
-  cluster into short RUNS of consecutive block ids.  The cull pass greedily
-  covers the visible set with fixed-width WINDOWS of ``WB`` consecutive
-  blocks; the Gram factors live in a FLAT column-block layout
-  (accel/prepared.py), so each window is ONE `pltpu.make_async_copy`
-  descriptor — the round-1 per-block copies serialized the scalar core on
-  descriptor issue (measured: 4x the descriptors => 5x the runtime,
-  DESIGN.md).  Windows may cover interleaved invisible blocks: harmless by
-  construction — culling is conservative, so an "invisible" block can never
-  produce a valid hit for this tile's rays, and extra tested blocks only
-  waste matmul columns.
-  Tiles whose window set fits ``cull_maxv`` walk an EXACT compacted window
-  list ordered front-to-back (the canonical scalar-prefetch block-sparse
-  pattern — the table lives in SMEM); heavier tiles (rare: whole-object
-  silhouette tiles) fall back to windows stepped over the covering
-  contiguous range.  Manual HBM→SMEM id DMA was tried and faulted under
-  Mosaic; scalar prefetch is the supported path.
-* **Double-buffered DMA.**  Each tile walks its windows overlapping the next
-  window's fetch with the current matmul.  SRT_TILED_SYNC=1 disables the
-  overlap (debug).
+* **Two granularities: cull blocks, fetch pages.**  Triangles are grouped
+  into fine CULL BLOCKS (``block_size``=32, AABB each — tight visibility:
+  measured ~1/3 the visible triangles of 128-tri blocks) and into coarser
+  PAGES (``page_tris``=128 consecutive triangles) that are the DMA/matmul
+  unit: a page is one CONTIGUOUS `pltpu.make_async_copy` descriptor and one
+  epilogue slice.  A page is fetched iff ANY of its member blocks is
+  visible.  Covering invisible member blocks is harmless by construction —
+  culling is conservative, so an invisible block can never produce a valid
+  hit for this tile's rays; extra tested columns only waste matmul work.
+  (Round-1 layouts that fetched per fine block serialized the scalar core
+  on descriptor issue: 4x the descriptors => 5x the runtime, DESIGN.md.)
+  Tiles whose visible-page set fits ``cull_maxv`` walk an EXACT compacted
+  page list ordered front-to-back (the canonical scalar-prefetch
+  block-sparse pattern — the table lives in SMEM); heavier tiles (rare:
+  whole-object silhouette tiles) fall back to stepping the covering
+  contiguous page range.  Manual HBM→SMEM id DMA was tried and faulted
+  under Mosaic; scalar prefetch is the supported path.
+* **Super-steps + double-buffered DMA.**  Each super-step fetches KP pages
+  (KP descriptors, each contiguous) and runs ONE
+  [TILE_R,16]@[16,KP*4*page_tris] contraction, overlapping the next
+  super-step's fetches with the current matmul; cross-lane reductions run
+  once per super-step.  SRT_TILED_SYNC=1 disables the overlap (debug).
 * Misses return t=+inf / idx=-1, matching ops/intersect.py conventions.
 
 Falls back to interpret mode off-TPU so the same code is CPU-testable.
@@ -62,6 +64,10 @@ _SYNC_DMA = bool(_os.environ.get("SRT_TILED_SYNC"))
 # Perf probe: SRT_TILED_NO_BREAK=1 drops the front-to-back early-termination
 # test (a cross-lane reduction per loop iteration) to measure its cost.
 _NO_BREAK = bool(_os.environ.get("SRT_TILED_NO_BREAK"))
+# Perf probe: SRT_TILED_ABLATE=dma|matmul strips the nearest kernel to just
+# the page DMAs (dma) or DMA+contraction (matmul) to decompose per-super-step
+# cost on hardware.  WRONG RESULTS — measurement only.
+_ABLATE = _os.environ.get("SRT_TILED_ABLATE", "")
 # MXU precision for the MT contraction (HIGHEST=safest, HIGH=3-pass bf16).
 _PRECISION = {"default": jax.lax.Precision.DEFAULT,
               "high": jax.lax.Precision.HIGH,
@@ -77,23 +83,19 @@ def _interpret() -> bool:
 # Host/jnp-side packing
 # ---------------------------------------------------------------------------
 
-GRAM_PAD_BLOCKS = 32    # zero tail blocks in the flat Gram layout so a
-                        # window starting at the last real block stays in
-                        # bounds (zeros => det 0 => never a hit)
-
-
-def pack_gram_blocks(verts_cart: jnp.ndarray, block: int) -> jnp.ndarray:
-    """[T,3,3] (T a multiple of ``block``) -> flat Gram
-    [F_DIM, (NB+GRAM_PAD_BLOCKS)*4*block]: block b owns the column range
-    [b*4B, (b+1)*4B) with groups det | u_num | v_num | t_num, each ``block``
-    wide.  (accel/prepared.py precomputes this on host; kept for ad-hoc
-    use/tests.)"""
+def pack_gram_blocks(verts_cart: jnp.ndarray, page_tris: int) -> jnp.ndarray:
+    """[T,3,3] (T a multiple of ``page_tris``) -> Gram pages
+    [NP, F_DIM, 4*page_tris] with page-level scalar grouping
+    det | u_num | v_num | t_num, each ``page_tris`` wide.
+    (accel/prepared.py:pack_pages_np is the host-numpy twin used at prepare
+    time; this jnp version serves ad-hoc use/tests.)"""
     G = isect.pack_mt_gram(verts_cart)                  # [T, 10, 4]
     T = G.shape[0]
-    NB = T // block
-    Gt = G.reshape(NB, block, 10, 4).transpose(2, 0, 3, 1)   # [10,NB,4,B]
-    flat = jnp.zeros((F_DIM, (NB + GRAM_PAD_BLOCKS) * 4 * block), G.dtype)
-    return flat.at[:10, :NB * 4 * block].set(Gt.reshape(10, NB * 4 * block))
+    NP_ = T // page_tris
+    Gp = G.reshape(NP_, page_tris, 10, 4).transpose(0, 2, 3, 1)
+    pad = jnp.zeros((NP_, F_DIM - 10, 4 * page_tris), G.dtype)
+    return jnp.concatenate(
+        [Gp.reshape(NP_, 10, 4 * page_tris), pad], axis=1)
 
 
 def tile_permutation(width: int, height: int, tile_px: int):
@@ -157,79 +159,57 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     return lo, cnt
 
 
-def _window_starts(visible: jnp.ndarray, WB: int) -> jnp.ndarray:
-    """Greedy cover of each row's visible set with windows of WB consecutive
-    blocks: block i starts a window iff it is visible and not already covered
-    by the previous window.  Inherently sequential -> lax.scan over the block
-    axis (NB steps of [n]-wide VPU work: negligible next to the visibility
-    matrix itself).  Returns bool [n, NB]."""
-    n, NB = visible.shape
-    idxs = jnp.arange(NB, dtype=jnp.int32)
-
-    def step(next_free, x):
-        i, vis = x
-        start = vis & (i >= next_free)
-        return jnp.where(start, i + WB, next_free), start
-
-    _, starts = jax.lax.scan(
-        step, jnp.zeros((n,), jnp.int32), (idxs, visible.T))
-    return starts.T
-
-
 def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
-                      maxv: int, block: int):
-    """Window-list culling with range fallback.
+                      maxv: int, block: int, page_tris: int):
+    """Page-list culling with range fallback.
 
-    Same conservative visibility as :func:`cull_blocks`, compressed into
-    fixed-width WINDOWS of ``WB`` consecutive blocks (one DMA descriptor
-    each — see module docstring).  Tiles whose window count fits ``maxv``
-    get an EXACT compacted window list ordered front-to-back (start ids ride
-    into SMEM via scalar prefetch); heavier tiles fall back to windows
-    stepped over the covering contiguous range.
+    Conservative visibility is evaluated at fine BLOCK granularity
+    (:func:`_visibility`) and reduced to PAGES (``page_tris``/``block``
+    consecutive blocks): a page is fetched iff any member block is visible,
+    and its front-to-back bound is the min member entry-t.  Tiles whose
+    visible-page count fits ``maxv`` get an EXACT compacted page list (ids
+    ride into SMEM via scalar prefetch); heavier tiles fall back to the
+    covering contiguous page range.
 
     Returns the fused plan table [n, PLAN_W] i32 with aux columns
-    (lo, range_cnt, win_cnt, use_list, 0...) then packed window entries.
+    (lo_page, range_pages, page_cnt, use_list, 0...) then packed entries
+    ``page_id | bound16 << 16``, bound-ascending.
     """
-    visible, tlo, n = _visibility(o, d, tile, block_min, block_max)
-    NB = visible.shape[1]
-    # plan entries pack the window-start block id into 16 bits
-    assert NB <= 65536, (
-        f"{NB} triangle blocks exceed the 16-bit plan-entry id space; "
-        "use range culling (cull_maxv=0) or a larger block_size")
-    WB = _wb(block)
-    idx = jnp.arange(NB, dtype=jnp.int32)
-    first = jnp.min(jnp.where(visible, idx, NB), axis=-1)
+    visible_b, tlo_b, n = _visibility(o, d, tile, block_min, block_max)
+    NB = visible_b.shape[1]
+    BPP = page_tris // block            # blocks per page (exact: see prepare)
+    NP_ = NB // BPP
+    INF = jnp.float32(jnp.inf)
+    visible = visible_b.reshape(n, NP_, BPP).any(-1)              # [n, NP]
+    tlo = jnp.min(jnp.where(visible_b, tlo_b, INF).reshape(n, NP_, BPP),
+                  axis=-1)
+    # plan entries pack the page id into 16 bits
+    assert NP_ <= 65536, (
+        f"{NP_} Gram pages exceed the 16-bit plan-entry id space; "
+        "use range culling (cull_maxv=0) or larger page_tris")
+    idx = jnp.arange(NP_, dtype=jnp.int32)
+    first = jnp.min(jnp.where(visible, idx, NP_), axis=-1)
     last = jnp.max(jnp.where(visible, idx, -1), axis=-1)
     range_cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
     lo = jnp.where(range_cnt > 0, first, 0).astype(jnp.int32)
 
-    starts = _window_starts(visible, WB)                          # [n, NB]
-    # window entry bound: min conservative entry-t over the window's VISIBLE
-    # member blocks (invisible members can never hit, so they don't bound)
-    INF = jnp.float32(jnp.inf)
-    tv = jnp.where(visible, tlo, INF)
-    tvp = jnp.concatenate([tv, jnp.full((n, WB), INF, tv.dtype)], axis=1)
-    wmin = tvp[:, :NB]
-    for k in range(1, WB):
-        wmin = jnp.minimum(wmin, tvp[:, k:k + NB])
-
-    win_cnt = starts.sum(axis=-1).astype(jnp.int32)
+    page_cnt = visible.sum(axis=-1).astype(jnp.int32)
     maxv = min(maxv, PLAN_MAXV)
-    use_list = (win_cnt <= maxv).astype(jnp.int32)
+    use_list = (page_cnt <= maxv).astype(jnp.int32)
 
-    # order entries front-to-back: bucket each window by its entry bound
+    # order entries front-to-back: bucket each page by its entry bound
     # (relative to the tile's range), and pack the truncated 16-bit float
     # bound so the kernel can stop once every ray's best hit beats the next
     # entry's bound
-    tmin = jnp.min(jnp.where(starts, wmin, INF), axis=-1)         # [n]
-    tmax = jnp.max(jnp.where(starts, wmin, -INF), axis=-1)
+    tmin = jnp.min(jnp.where(visible, tlo, INF), axis=-1)         # [n]
+    tmax = jnp.max(jnp.where(visible, tlo, -INF), axis=-1)
     tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
     qscale = jnp.maximum(tmax - tmin, 1e-20) / T_BUCKETS
-    qb = jnp.clip(((wmin - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
+    qb = jnp.clip(((tlo - tmin[:, None]) / qscale[:, None]).astype(jnp.int32),
                   0, T_BUCKETS - 1)
     # the packed bound is the BUCKET FLOOR, not the entry's own t: within a
-    # bucket entries are in block-index order, so only the floor lower-bounds
+    # bucket entries are in page-index order, so only the floor lower-bounds
     # every later entry (bucket-ascending => floors non-decreasing).  The
     # 16-bit truncation rounds down, keeping it conservative.
     floor_t = jnp.maximum(tmin[:, None] + qb.astype(jnp.float32)
@@ -238,13 +218,13 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         jax.lax.bitcast_convert_type(floor_t, jnp.int32), 16)
 
     # bucket-ordered compaction by scatter (argsort would be a per-row sort —
-    # hundreds of ms on TPU at 8k tiles x 500 blocks)
+    # hundreds of ms on TPU at 8k tiles x 500 pages)
     bucket_cnt = jnp.stack(
-        [(starts & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
+        [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
     base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
-    slot = jnp.full((n, NB), PLAN_MAXV, jnp.int32)
+    slot = jnp.full((n, NP_), PLAN_MAXV, jnp.int32)
     for b in range(T_BUCKETS):
-        mb = starts & (qb == b)
+        mb = visible & (qb == b)
         pos = jnp.cumsum(mb, axis=-1) - 1
         slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
     slot = jnp.where(slot < PLAN_MAXV, slot, PLAN_MAXV)
@@ -254,7 +234,7 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         packed, mode="drop")
     z = jnp.zeros_like(lo)
     aux = jnp.stack(
-        [lo, range_cnt, jnp.minimum(win_cnt, maxv), use_list,
+        [lo, range_cnt, jnp.minimum(page_cnt, maxv), use_list,
          z, z, z, z], axis=-1)
     return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
 
@@ -346,8 +326,8 @@ def _mt_epilogue(q, B, eps, extra_valid):
 
 PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "128"))
                     # plan-table width (multiple of 128: SMEM lane padding)
-# cols 0-7: lo, range_cnt, win_cnt, use_list, 0, 0, 0, 0;
-# cols 8..: packed WINDOW entries  start_block | (bound16 << 16),
+# cols 0-7: lo_page, range_pages, page_cnt, use_list, 0, 0, 0, 0;
+# cols 8..: packed PAGE entries  page_id | (bound16 << 16),
 # bound-ascending, where bound16 = top 16 bits of the f32 conservative
 # entry-t (IEEE ordering: for non-negative floats, bit-pattern comparison ==
 # value comparison, and truncation rounds the bound DOWN, keeping the break
@@ -357,89 +337,83 @@ PLAN_MAXV = PLAN_W - PLAN_AUX
 T_BUCKETS = 8
 
 
-def _tile_plan(plan_ref, i, WB):
+def _tile_plan(plan_ref, i):
     """Per-tile work plan from the fused scalar-prefetch table [n, PLAN_W]:
-    window count, a k -> window-start mapping (exact list when it fit,
-    WB-strided steps over the covering range else), and a conservative
-    entry-t lower bound per position.  Fusing aux + packed entries into one
-    128-wide row costs nothing (SMEM lane padding) and keeps exactly one
-    prefetch operand."""
+    page count, a k -> page-id mapping (exact list when it fit, covering
+    contiguous range else), and a conservative entry-t lower bound per
+    position.  Fusing aux + packed entries into one 128-wide row costs
+    nothing (SMEM lane padding) and keeps exactly one prefetch operand."""
     lo = plan_ref[i, 0]
     use_list = plan_ref[i, 3] == 1
-    cnt = jnp.where(use_list, plan_ref[i, 2],
-                    (plan_ref[i, 1] + WB - 1) // WB)
+    cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
     def entry(k):
         return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
 
-    def start(k):
+    def page(k):
         # clamp the list index: in range mode k can exceed maxv and both
         # sides of the select are evaluated
-        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k * WB)
+        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k)
 
     def bound16(k):
         # truncated-f32 entry-t bound, comparable in INT space against the
         # high 16 bits of any non-negative f32 (IEEE ordering); valid only
         # in list mode where entries are bound-ascending
         return jax.lax.shift_right_logical(entry(k), 16)
-    return cnt, start, use_list, bound16
+    return cnt, page, use_list, bound16
 
 
-# One super-step = one [TILE_R,16]@[16,SUPER_COLS] contraction over a window
-# of WB consecutive blocks, fetched by ONE DMA descriptor from the flat Gram
-# layout.  SUPER_COLS is fixed so finer blocks (tighter culling) keep the
-# same MXU width and DMA size per step.
-SUPER_COLS = int(_os.environ.get("SRT_TILED_SUPER_COLS", "4096"))
+# One super-step = one [TILE_R,16]@[16,KP*4*page_tris] contraction over KP
+# pages (KP tiny matmuls would be latency-bound; KP descriptors per step,
+# each CONTIGUOUS).  SUPER_COLS is fixed so different page sizes keep the
+# same MXU width per step.
+SUPER_COLS = int(_os.environ.get("SRT_TILED_SUPER_COLS", "2048"))
 
 
-def _wb(block: int) -> int:
-    """Blocks per window."""
-    wb = max(SUPER_COLS // (4 * block), 1)
-    assert wb <= GRAM_PAD_BLOCKS, (
-        f"window of {wb} blocks overruns the {GRAM_PAD_BLOCKS}-block Gram "
-        "tail pad; lower SRT_TILED_SUPER_COLS or raise GRAM_PAD_BLOCKS")
-    return wb
+def _kp(page_tris: int) -> int:
+    """Pages per super-step."""
+    return max(SUPER_COLS // (4 * page_tris), 1)
 
 
-def _super_dma(G_hbm, gbuf, sem_g, start, slot, j, B):
-    """Start the ONE window fetch of super-step j into gbuf[slot].
+def _super_dma(G_hbm, gbuf, sem_g, page, slot, j, PT):
+    """Start the KP page fetches of super-step j into gbuf[slot] columns.
 
-    Unconditional (invalid steps clamp to a valid start; culling is
-    conservative so extra real blocks cannot produce wrong hits and the
-    zero tail pad has det 0): a @pl.when around the DMA serializes the
-    scalar core."""
-    WB = _wb(B)
-    nbw = G_hbm.shape[1] // (4 * B) - WB      # last legal window start
-    s = jnp.clip(start(j), 0, nbw)
-    pltpu.make_async_copy(
-        G_hbm.at[:, pl.ds(s * 4 * B, 4 * B * WB)],
-        gbuf.at[slot],
-        sem_g.at[slot]).start()
-
-
-def _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B):
-    WB = _wb(B)
-    nbw = G_hbm.shape[1] // (4 * B) - WB
-    s = jnp.clip(start(j), 0, nbw)
-    pltpu.make_async_copy(
-        G_hbm.at[:, pl.ds(s * 4 * B, 4 * B * WB)],
-        gbuf.at[slot],
-        sem_g.at[slot]).wait()
+    Unconditional (invalid steps clamp to a valid page; culling is
+    conservative, so extra real triangles cannot produce wrong hits): a
+    @pl.when around every DMA serializes the scalar core."""
+    KP = _kp(PT)
+    np_ = G_hbm.shape[0]
+    for i in range(KP):
+        pltpu.make_async_copy(
+            G_hbm.at[jnp.minimum(page(j * KP + i), np_ - 1)],
+            gbuf.at[slot, :, pl.ds(i * 4 * PT, 4 * PT)],
+            sem_g.at[slot, i]).start()
 
 
-def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
+def _super_wait(G_hbm, gbuf, sem_g, page, slot, j, PT):
+    KP = _kp(PT)
+    np_ = G_hbm.shape[0]
+    for i in range(KP):
+        pltpu.make_async_copy(
+            G_hbm.at[jnp.minimum(page(j * KP + i), np_ - 1)],
+            gbuf.at[slot, :, pl.ds(i * 4 * PT, 4 * PT)],
+            sem_g.at[slot, i]).wait()
+
+
+def _nearest_kernel(page_tris: int, eps: float, plan_ref, F_ref, G_hbm,
                     t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    B = block
-    WB = _wb(B)
-    ns, start, use_list, bound16 = _tile_plan(plan_ref, i, WB)
+    PT = page_tris
+    KP = _kp(PT)
+    cnt, page, use_list, bound16 = _tile_plan(plan_ref, i)
+    ns = (cnt + KP - 1) // KP                            # super-steps
     F = F_ref[0]                                         # [TILE_R, F_DIM]
     TILE_R = F.shape[0]
 
     if not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _super_dma(G_hbm, gbuf, sem_g, start, 0, 0, B)
+            _super_dma(G_hbm, gbuf, sem_g, page, 0, 0, PT)
 
     def cond(state):
         j, done, best_t, best_i = state
@@ -450,63 +424,70 @@ def _nearest_kernel(block: int, eps: float, plan_ref, F_ref, G_hbm,
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            _super_dma(G_hbm, gbuf, sem_g, start, 0, j, B)
+            _super_dma(G_hbm, gbuf, sem_g, page, 0, j, PT)
         else:
             @pl.when(j + 1 < ns)
             def _():
-                _super_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1, B)
+                _super_dma(G_hbm, gbuf, sem_g, page, (j + 1) % 2, j + 1, PT)
 
-        _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B)
+        _super_wait(G_hbm, gbuf, sem_g, page, slot, j, PT)
+        if _ABLATE == "dma":            # measurement only: skip all compute
+            best_t = jnp.minimum(best_t, gbuf[slot][:1, :1] + 1e30)
+            return j + 1, jnp.bool_(False), best_t, best_i
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=_PRECISION)             # [TILE_R, WB*4B]
-        s = start(j)
-        # per-slice epilogues are ELEMENTWISE only (cheap); the expensive
-        # cross-lane reductions run ONCE over the whole window.  Blocks of a
-        # window are consecutive, so the window is one contiguous triangle
-        # range: global id = s*B + window lane.
-        NW = WB * B
-        ts = []
-        for kk in range(WB):
-            q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            # every block in the window is testable: real blocks give exact
-            # MT results whether or not they were individually visible, and
-            # the zero tail pad has det 0 (never valid)
-            ts.append(_mt_epilogue(q, B, eps, True))
-        t = jnp.concatenate(ts, axis=1)                  # [TILE_R, WB*B]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, NW), 1)
-        # per-ray vectors stay [TILE_R, 1] columns end-to-end: Mosaic
-        # cannot reshape across the sublane/lane boundary
-        bt = jnp.min(t, axis=1, keepdims=True)           # [TILE_R, 1]
-        bj = jnp.min(jnp.where(t == bt, lane, NW), axis=1, keepdims=True)
-        better = bt < best_t
-        best_t = jnp.where(better, bt, best_t)
-        best_i = jnp.where(better & (bj < NW), s * B + bj, best_i)
+                       precision=_PRECISION)             # [TILE_R, KP*4PT]
+        if _ABLATE == "matmul":         # measurement only: skip epilogue
+            best_t = jnp.minimum(best_t, quad[:, :PT] + 1e30)
+            return j + 1, jnp.bool_(False), best_t, best_i
+        # EVERYTHING in the loop is elementwise: per-page epilogues fold into
+        # [TILE_R, PT] accumulators (t + global-id vectors) and the expensive
+        # cross-lane reductions run ONCE PER TILE after the loop.  Pages may
+        # repeat in tail slices (clamped) — harmless: duplicate real
+        # triangles fold idempotently.
+        np_ = G_hbm.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, PT), 1)
+        for kk in range(KP):
+            q = quad[:, kk * 4 * PT:(kk + 1) * 4 * PT]
+            t = _mt_epilogue(q, PT, eps, True)
+            pid = jnp.minimum(page(j * KP + kk), np_ - 1)
+            idv = pid * PT + lane
+            imp = t < best_t
+            best_t = jnp.where(imp, t, best_t)
+            best_i = jnp.where(imp, idv, best_i)
         # front-to-back break: entries ascend in conservative entry t, so
         # once every ray has a hit closer than the next entry's bound, no
-        # remaining window can improve any ray in the tile.  Compared in int
-        # space (IEEE: non-negative f32 order == bit order; Mosaic has no
-        # scalar float bitcast).
+        # remaining page can improve any ray in the tile.  Per-ray best =
+        # min over accumulator lanes — the loop's ONLY cross-lane reduction
+        # (the argmin reduction is deferred to after the loop).  Compared in
+        # int space (IEEE: non-negative f32 order == bit order; Mosaic has
+        # no scalar float bitcast).
         if _NO_BREAK:
             done = jnp.bool_(False)
         else:
+            per_ray = jnp.min(best_t, axis=1, keepdims=True)   # [TILE_R, 1]
             worst_bits = jnp.max(jax.lax.shift_right_logical(
-                jax.lax.bitcast_convert_type(best_t, jnp.int32), 16))
-            done = use_list & (worst_bits < bound16(j + 1))
+                jax.lax.bitcast_convert_type(per_ray, jnp.int32), 16))
+            done = use_list & (worst_bits < bound16((j + 1) * KP))
         return j + 1, done, best_t, best_i
 
     init = (jnp.int32(0), jnp.bool_(False),
-            jnp.full((TILE_R, 1), jnp.inf, jnp.float32),
-            jnp.full((TILE_R, 1), -1, jnp.int32))
-    j_end, _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+            jnp.full((TILE_R, PT), jnp.inf, jnp.float32),
+            jnp.full((TILE_R, PT), -1, jnp.int32))
+    j_end, _, tv, iv = jax.lax.while_loop(cond, body, init)
 
     if not _SYNC_DMA:
         # drain the prefetched super-step left in flight by an early break
         @pl.when(j_end < ns)
         def _():
-            _super_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, B)
+            _super_wait(G_hbm, gbuf, sem_g, page, j_end % 2, j_end, PT)
 
-    t_ref[0] = best_t
-    idx_ref[0] = best_i
+    # the one reduction pair per tile: winner t, then min global id among
+    # winning lanes (ties break to the lowest triangle id)
+    bt = jnp.min(tv, axis=1, keepdims=True)              # [TILE_R, 1]
+    bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
+                  axis=1, keepdims=True)
+    t_ref[0] = bt
+    idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
 
 
 def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
@@ -516,18 +497,19 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     Per-triangle object ids ride in Gram row 10 (prepare() packs them), so
     the same DMA stream feeds both the contraction and the self-exclusion."""
     i = pl.program_id(0)
-    B = block
-    WB = _wb(B)
-    ns, start, use_list, _bound16 = _tile_plan(plan_ref, i, WB)
+    PT = block
+    KP = _kp(PT)
+    cnt, page, use_list, _bound16 = _tile_plan(plan_ref, i)
+    ns = (cnt + KP - 1) // KP
     F = F_ref[0]
     TILE_R = F.shape[0]
     self_obj = self_ref[0]                               # [TILE_R, 1] f32
 
     def start_super(slot, j):
-        _super_dma(G_hbm, gbuf, sem_g, start, slot, j, B)
+        _super_dma(G_hbm, gbuf, sem_g, page, slot, j, PT)
 
     def wait_super(slot, j):
-        _super_wait(G_hbm, gbuf, sem_g, start, slot, j, B)
+        _super_wait(G_hbm, gbuf, sem_g, page, slot, j, PT)
 
     if not _SYNC_DMA:
         @pl.when(ns > 0)
@@ -537,7 +519,7 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
     def cond(state):
         j, found, done = state
         # early exit once every ray in the tile is occluded — shadow tiles
-        # saturate fast, and any further windows are wasted DMA + matmul
+        # saturate fast, and any further pages are wasted DMA + matmul
         return (j < ns) & ~done
 
     def body(state):
@@ -553,14 +535,14 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
 
         wait_super(slot, j)
         quad = jnp.dot(F, gbuf[slot], preferred_element_type=jnp.float32,
-                       precision=_PRECISION)             # [TILE_R, WB*4B]
-        # elementwise-only per slice; the cross-lane reduction runs ONCE per
-        # window on the [TILE_R, B] accumulator
-        occ_vec = jnp.zeros((TILE_R, B), jnp.float32)
-        for kk in range(WB):
-            q = quad[:, kk * 4 * B:(kk + 1) * 4 * B]
-            objs = gbuf[slot][10:11, kk * 4 * B:kk * 4 * B + B]   # [1, B]
-            occm = _mt_occlusion(q, B, eps, True, no_max_t) & \
+                       precision=_PRECISION)             # [TILE_R, KP*4PT]
+        # elementwise-only per page; the cross-lane reduction runs ONCE per
+        # super-step on the [TILE_R, PT] accumulator
+        occ_vec = jnp.zeros((TILE_R, PT), jnp.float32)
+        for kk in range(KP):
+            q = quad[:, kk * 4 * PT:(kk + 1) * 4 * PT]
+            objs = gbuf[slot][10:11, kk * 4 * PT:kk * 4 * PT + PT]  # [1, PT]
+            occm = _mt_occlusion(q, PT, eps, True, no_max_t) & \
                 (objs != self_obj)
             occ_vec = jnp.maximum(occ_vec, jnp.where(occm, 1.0, 0.0))
         occ = jnp.max(occ_vec, axis=1, keepdims=True)
@@ -625,9 +607,9 @@ def _chunk_tiles(fn, n, *arrays):
         lambda o: o.reshape((nc * C,) + o.shape[2:])[:n], outs)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "block", "eps"))
-def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
-    """F [n,tile,F_DIM], plan [n,PLAN_W] i32, Gt [NB,F_DIM,4B]
+@functools.partial(jax.jit, static_argnames=("tile", "page_tris", "eps"))
+def tiled_nearest(F, plan, Gt, tile: int, page_tris: int, eps: float):
+    """F [n,tile,F_DIM], plan [n,PLAN_W] i32, Gt [NP,F_DIM,4*page_tris]
     -> (t [n,tile], idx [n,tile])."""
     n = F.shape[0]
 
@@ -648,12 +630,13 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * _wb(block)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, F_DIM, 4 * page_tris * _kp(page_tris)),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((2, _kp(page_tris))),
             ],
         )
         return pl.pallas_call(
-            functools.partial(_nearest_kernel, block, eps),
+            functools.partial(_nearest_kernel, page_tris, eps),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((nl, tile, 1), jnp.float32, Fc),
@@ -667,9 +650,10 @@ def tiled_nearest(F, plan, Gt, tile: int, block: int, eps: float):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "block", "eps", "no_max_t"))
+                   static_argnames=("tile", "page_tris", "eps", "no_max_t"))
 def tiled_anyhit(F, self_obj, plan, Gt,
-                 tile: int, block: int, eps: float, no_max_t: bool = True):
+                 tile: int, page_tris: int, eps: float,
+                 no_max_t: bool = True):
     """Occlusion query.  self_obj [n, tile] f32.  Object ids come from Gram
     row 10 (see accel/prepared.py).  -> found [n, tile] bool."""
     n = F.shape[0]
@@ -691,12 +675,13 @@ def tiled_anyhit(F, self_obj, plan, Gt,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_DIM, 4 * block * _wb(block)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, F_DIM, 4 * page_tris * _kp(page_tris)),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((2, _kp(page_tris))),
             ],
         )
         (found,) = pl.pallas_call(
-            functools.partial(_anyhit_kernel, block, eps, no_max_t),
+            functools.partial(_anyhit_kernel, page_tris, eps, no_max_t),
             grid_spec=grid_spec,
             out_shape=[_out_struct((nl, tile, 1), jnp.int32, Fc)],
             interpret=_interpret(),
@@ -725,11 +710,11 @@ class BlockSet:
     ``from_arrays`` derives the static block geometry from shapes alone, so
     it can be called inside shard_map/jit bodies."""
 
-    block_min: jnp.ndarray    # [NB, 3]
+    block_min: jnp.ndarray    # [NB, 3] — cull-granularity AABBs
     block_max: jnp.ndarray    # [NB, 3]
-    gram: jnp.ndarray         # [16, (NB+GRAM_PAD_BLOCKS)*4*block]
+    gram: jnp.ndarray         # [NP, 16, 4*page_tris] — Gram pages
     num_blocks: int = 0
-    block_size: int = 128
+    block_size: int = 32
 
     def tree_flatten(self):
         return ((self.block_min, self.block_max, self.gram),
@@ -739,30 +724,44 @@ class BlockSet:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    @property
+    def num_pages(self) -> int:
+        return int(self.gram.shape[0])
+
+    @property
+    def page_tris(self) -> int:
+        return int(self.gram.shape[2]) // 4
+
     @classmethod
     def from_arrays(cls, block_min, block_max, gram):
         nb = block_min.shape[0]
-        bs = gram.shape[1] // (4 * (nb + GRAM_PAD_BLOCKS))
+        pt = gram.shape[2] // 4
+        bs = gram.shape[0] * pt // nb       # total padded tris / blocks
         return cls(block_min, block_max, gram, num_blocks=int(nb),
                    block_size=int(bs))
 
 
 def _cull(origin, direction, tile, prep, maxv):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
-    exact lists with range fallback; maxv == 0: pure ranges.  Scenes beyond
-    the 16-bit block-id space of list entries (> 65536 blocks ≈ 8.4M
-    triangles at block 128) force range mode."""
-    if prep.num_blocks > 65536:
+    exact page lists with range fallback; maxv == 0: pure page ranges.
+    Scenes beyond the 16-bit page-id space of list entries (> 65536 pages
+    = 8.4M triangles at page_tris 128) force range mode."""
+    pt = prep.page_tris
+    if prep.num_pages > 65536:
         maxv = 0
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv,
-                                 prep.block_size)
+                                 prep.block_size, pt)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max)
+    # convert the covering block range to the covering PAGE range
+    bpp = pt // prep.block_size
+    lo_p = lo // bpp
+    cnt_p = jnp.where(cnt > 0, (lo + cnt - 1) // bpp - lo_p + 1, 0)
     n = lo.shape[0]
     z = jnp.zeros_like(lo)
-    aux = jnp.stack([lo, cnt, z, z, z, z, z, z], axis=-1)
+    aux = jnp.stack([lo_p, cnt_p, z, z, z, z, z, z], axis=-1)
     return jnp.concatenate(
         [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
 
@@ -770,17 +769,16 @@ def _cull(origin, direction, tile, prep, maxv):
 def tiled_hits(prep, origin, direction, tile: int, eps: float,
                maxv: int = 64):
     """Nearest hit over flat rays via the tiled kernel.  Returns (t, idx)."""
-    block = prep.block_size
     Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
     plan = _cull(origin, direction, tile, prep, maxv)
-    t, idx = tiled_nearest(F, plan, Gt, tile, block, eps)
+    t, idx = tiled_nearest(F, plan, Gt, tile, prep.page_tris, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
                     no_max_t: bool = True):
-    block = prep.block_size
+    page_tris = prep.page_tris
     Gt = prep.gram
 
     def shadow(point, light, self_obj, hit=None):
@@ -817,7 +815,7 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
         found = tiled_anyhit(F, so.reshape(n, tile), plan, Gt,
-                             tile, block, eps, no_max_t)
+                             tile, page_tris, eps, no_max_t)
         return found.reshape(-1)[:R]
 
     return shadow
