@@ -1,0 +1,65 @@
+"""Repeatable full-size turntable benchmark (BASELINE config-5 class).
+
+Renders the reference's headline benchmark — the ACTIVE complex scene
+(ground cube + bunny + 3 textured trees, 600x400, hard shadows) over the
+36-frame turntable (simple_raytracer.cpp:530-796) — on the current backend
+and emits per-sweep metrics as JSON lines (driver/animation.py metrics) plus
+a one-line summary comparable to BASELINE.md's 48.99 s/frame.
+
+Usage: python scripts/bench_sweep.py [--mode tiled] [--width 600]
+       [--height 400] [--frames 36] [--out /tmp/sweep_out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="tiled")
+    p.add_argument("--width", type=int, default=600)
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--frames", type=int, default=36)
+    p.add_argument("--out", default="/tmp/sweep_out")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from simple_raytracer_tpu.config import (default_config, AnimationConfig,
+                                             BVHConfig, CameraConfig)
+    from simple_raytracer_tpu.driver.animation import render_turntable
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = default_config().replace(
+        mode=args.mode,
+        camera=CameraConfig(width=args.width, height=args.height),
+        bvh=BVHConfig(split="sah"))
+    anim = AnimationConfig(start_deg=0.0, stop_deg=args.frames * 10.0,
+                           step_deg=10.0)
+    metrics = os.path.join(args.out, "metrics.jsonl")
+    t0 = time.time()
+    written = render_turntable(
+        "complex", "/root/reference", cfg, anim, out_dir=args.out,
+        fmt="bmp", world_space=True, resume=False, metrics_path=metrics)
+    total = time.time() - t0
+    ms_frame = total * 1e3 / max(len(written), 1)
+    print(json.dumps({
+        "metric": f"complex_scene_turntable_{args.width}x{args.height}_"
+                  f"{args.mode}",
+        "frames": len(written),
+        "ms_per_frame_incl_host": round(ms_frame, 2),
+        "vs_reference_48990ms": round(48990.0 / ms_frame, 1),
+        "metrics_jsonl": metrics,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
                                                  cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(
             prep, tile, cfg.mt_eps, cfg.cull_maxv,
-            cfg.light.shadow_no_max_t) \
+            cfg.light.shadow_no_max_t, cfg.light.num_samples) \
             if cfg.light.enable_shadows else None
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")

@@ -308,19 +308,24 @@ def _mt_occlusion(q, B, eps, extra_valid, no_max_t):
 
 
 def _mt_epilogue(q, B, eps, extra_valid):
-    """One block's quad slice [TILE_R, 4B] -> t [TILE_R, B], misses=+inf.
+    """One page's quad slice [TILE_R, 4B] -> t [TILE_R, B], misses=+inf.
 
     Single home for the Möller–Trumbore validity rules (det eps, u/v range,
     t>=0 — simple_raytracer.cpp:57-73) shared by the nearest-hit and
-    occlusion kernels.
+    occlusion kernels.  VPU-op-minimized (ablation showed the elementwise
+    epilogue, not the contraction, bounds the kernel): the four range tests
+    collapse to one sign test of min(u, v, 1-u-v, t), which is exact — the
+    min is >= 0 iff every term is.
     """
     det = q[:, :B]
     inv = 1.0 / det
     u = q[:, B:2 * B] * inv
     v = q[:, 2 * B:3 * B] * inv
     t = q[:, 3 * B:] * inv
-    valid = (jnp.abs(det) >= eps) & (u >= 0.0) & (u <= 1.0) & \
-            (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0) & extra_valid
+    m = jnp.minimum(jnp.minimum(u, v), jnp.minimum(1.0 - (u + v), t))
+    valid = (jnp.abs(det) >= eps) & (m >= 0.0)
+    if extra_valid is not True:
+        valid = valid & extra_valid
     return jnp.where(valid, t, jnp.inf)
 
 
@@ -777,11 +782,26 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float,
 
 
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
-                    no_max_t: bool = True):
+                    no_max_t: bool = True, num_samples: int = 1):
+    """Occlusion backend for the integrator's shadow contract.
+
+    With ``num_samples`` S > 1 (soft shadows), the integrator sends S·R rays
+    whose ORIGIN rows repeat per sample (only the light differs,
+    render/integrator.py).  The folded path exploits that: points are tiled
+    ONCE, all S samples of a point tile become extra M rows of the same
+    kernel launch, and the tile's cull plan unions the S light directions —
+    so culling and page DMA are paid once per point tile instead of once per
+    (sample, tile).  Sample jitter is +3 units cumulative
+    (simple_raytracer.cpp:362-383): the direction union stays tight.
+    """
     page_tris = prep.page_tris
     Gt = prep.gram
 
     def shadow(point, light, self_obj, hit=None):
+        S = num_samples
+        if S > 1 and point.shape[0] % S == 0:
+            return _shadow_folded(prep, Gt, page_tris, tile, eps, maxv,
+                                  no_max_t, S, point, light, self_obj, hit)
         if hit is not None:
             # tile-aware repair: a miss ray's pinned (0,0,0) origin would
             # blow the tile's cull bounds from the camera to the surface.
@@ -821,13 +841,66 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
     return shadow
 
 
+def _shadow_folded(prep, Gt, page_tris, tile, eps, maxv, no_max_t, S,
+                   point, light, self_obj, hit):
+    """S-sample occlusion with per-point-tile plan/DMA sharing (see
+    tiled_shadow_fn).  Rays arrive sample-major ([S*R]; origin rows repeat
+    per sample); the kernel sees point tiles of ``ts`` points x S samples as
+    one M = S*ts row block (capped so the quad buffer fits VMEM)."""
+    R = point.shape[0] // S
+    p0 = point[:R]
+    self0 = self_obj[:R].astype(jnp.float32)
+    lights = light.reshape(S, R, 3)
+    ts = max(8, min(tile, 1024 // S))         # S*ts rows <= 1024
+
+    padn = (-R) % ts
+    if padn:
+        p0 = jnp.concatenate([p0, jnp.zeros((padn, 3), p0.dtype)], 0)
+        self0 = jnp.concatenate(
+            [self0, jnp.broadcast_to(self0[-1:], (padn,))], 0)
+        lights = jnp.concatenate(
+            [lights, jnp.broadcast_to(lights[:, -1:], (S, padn, 3))], 1)
+    nt = p0.shape[0] // ts
+    p3 = p0.reshape(nt, ts, 3)
+
+    any_hit = None
+    if hit is not None:
+        h0 = hit[:R]
+        if padn:
+            h0 = jnp.concatenate([h0, jnp.zeros((padn,), h0.dtype)], 0)
+        h2 = h0.reshape(nt, ts)
+        # same-tile origin repair + hitless-tile skip (see the single-sample
+        # path above)
+        first = jnp.argmax(h2, axis=1)
+        fill = jnp.take_along_axis(
+            p3, first[:, None, None].repeat(3, axis=2), axis=1)
+        p3 = jnp.where(h2[..., None], p3, fill)
+        any_hit = h2.any(axis=1)
+
+    # [nt, S, ts, 3] rows: sample-major within each point tile
+    o_g = jnp.broadcast_to(p3[:, None], (nt, S, ts, 3))
+    d_g = lights.reshape(S, nt, ts, 3).transpose(1, 0, 2, 3) - o_g
+    o_f = o_g.reshape(-1, 3)
+    d_f = d_g.reshape(-1, 3)
+    F, n2, _ = ray_tile_features(o_f, d_f, S * ts)
+    plan = _cull(o_f, d_f, S * ts, prep, maxv)
+    if any_hit is not None:
+        plan = jnp.where(any_hit[:, None], plan, 0)
+    self_g = jnp.broadcast_to(self0.reshape(nt, 1, ts), (nt, S, ts))
+    found = tiled_anyhit(F, self_g.reshape(nt, S * ts), plan, Gt,
+                         S * ts, page_tris, eps, no_max_t)
+    found = found.reshape(nt, S, ts).transpose(1, 0, 2).reshape(S, -1)
+    return found[:, :R].reshape(-1)
+
+
 def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
     tile = cfg.tile_px * cfg.tile_px
     t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps,
                             cfg.cull_maxv)
     shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv,
-                                cfg.light.shadow_no_max_t) \
+                                cfg.light.shadow_no_max_t,
+                                cfg.light.num_samples) \
         if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
                                 tri_idx, light_pos, shadow_fn)

@@ -131,6 +131,26 @@ def test_tile_chunking_matches_unchunked(monkeypatch):
     np.testing.assert_array_equal(np.asarray(idx_ref), np.asarray(idx_ch))
 
 
+def test_soft_shadow_folded_matches_bruteforce():
+    """S>1 routes through the folded shadow path (one plan/DMA per point
+    tile, samples as extra kernel rows); pixels must match the bruteforce
+    oracle."""
+    from simple_raytracer_tpu.config import LightConfig
+    scene = _scene(two_objects=True)
+    cam = CameraConfig(width=64, height=32)
+    light_cfg = LightConfig(enable_shadows=True, num_samples=4)
+    cfg_bf = default_config().replace(mode="bruteforce", camera=cam,
+                                      light=light_cfg)
+    cfg_tl = default_config().replace(mode="tiled", camera=cam,
+                                      light=light_cfg)
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+    img_bf = np.asarray(render(scene, cfg_bf, light))
+    img_tl = np.asarray(render(scene, cfg_tl, light))
+    diff = np.abs(img_bf.astype(int) - img_tl.astype(int))
+    assert (diff <= 1).mean() > 0.999, f"max diff {diff.max()}"
+    assert (diff == 0).mean() > 0.98
+
+
 def test_mixed_hit_miss_tiles_keep_shadows():
     """A miss ray's point = o + inf*d must not poison its tile's shadow cull
     bounds (integrator pins miss points to the origin before the occlusion
