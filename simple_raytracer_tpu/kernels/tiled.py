@@ -329,8 +329,13 @@ def _mt_epilogue(q, B, eps, extra_valid):
     return jnp.where(valid, t, jnp.inf)
 
 
-PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "128"))
-                    # plan-table width (multiple of 128: SMEM lane padding)
+PLAN_W = int(_os.environ.get("SRT_TILED_PLAN_W", "256"))
+                    # plan-table width (multiple of 128: SMEM lane padding).
+                    # Sized so silhouette/through-body tiles still get EXACT
+                    # front-to-back lists: on the 1080p bunny the 1.4% of
+                    # tiles that overflowed a 120-entry list caused 29% of
+                    # all page-visits (range fallback walks the covering
+                    # range with no early break).
 # cols 0-7: lo_page, range_pages, page_cnt, use_list, 0, 0, 0, 0;
 # cols 8..: packed PAGE entries  page_id | (bound16 << 16),
 # bound-ascending, where bound16 = top 16 bits of the f32 conservative
