@@ -32,6 +32,12 @@ class PreparedScene:
     block_min: jnp.ndarray    # [NB, 3] — CULL granularity AABBs (block_size
                               # triangles each; finer than a page)
     block_max: jnp.ndarray    # [NB, 3]
+    block_obj: jnp.ndarray    # [NB] i32 — object id when every real triangle
+                              # of the block belongs to one object (padding
+                              # ignored), else -9.  Lets shadow culling drop
+                              # a tile's own object wholesale (the reference
+                              # rule: own-object triangles never occlude,
+                              # simple_raytracer.cpp:331).
     gram: jnp.ndarray         # [NP, 16, 4*page_tris] — packed MT factors in
                               # PAGES of page_tris consecutive triangles with
                               # page-level scalar grouping
@@ -49,7 +55,7 @@ class PreparedScene:
     block_size: int = dataclasses.field(default=32)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
-            "leaf_count", "block_min", "block_max", "gram")
+            "leaf_count", "block_min", "block_max", "block_obj", "gram")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size")
 
@@ -159,6 +165,13 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     vc = padded.verts[..., :3] / padded.verts[..., 3:4]
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
+    # per-block object purity (see PreparedScene.block_obj): max over the
+    # block is the candidate id; padding (-1) never disqualifies purity
+    to = np.asarray(padded.tri_obj).reshape(nb, bs)
+    mx = to.max(axis=1) if nb else np.zeros((0,), np.int32)
+    pure = np.all((to == mx[:, None]) | (to == -1), axis=1)
+    block_obj = np.where(pure, mx, -9).astype(np.int32)
+
     # precompute the tiled path's packed MT Gram pages + per-triangle object
     # ids here (host numpy) so per-frame renders skip the packing entirely
     gram = pack_pages_np(vc, np.asarray(padded.tri_obj), cfg.bvh.page_tris)
@@ -172,6 +185,7 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         leaf_count=flat.leaf_count,
         block_min=bmin,
         block_max=bmax,
+        block_obj=block_obj,
         gram=gram,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),

@@ -136,7 +136,8 @@ def ray_tile_features(o: jnp.ndarray, d: jnp.ndarray, tile: int):
 
 
 def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
-                block_min: jnp.ndarray, block_max: jnp.ndarray):
+                block_min: jnp.ndarray, block_max: jnp.ndarray,
+                block_obj=None, excl=None):
     """Conservative per-(ray tile, triangle block) visibility -> block RANGE.
 
     Interval-arithmetic slab test: each tile is abstracted by the AABBs of its
@@ -149,7 +150,8 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     Returns (lo [n_tiles] i32, cnt [n_tiles] i32): the contiguous range
     [lo, lo+cnt) covering every visible block (cnt 0 when none).
     """
-    visible, _, n = _visibility(o, d, tile, block_min, block_max)
+    visible, _, n = _visibility(o, d, tile, block_min, block_max,
+                                block_obj, excl)
     NB = visible.shape[1]
     idx = jnp.arange(NB, dtype=jnp.int32)
     first = jnp.min(jnp.where(visible, idx, NB), axis=-1)     # [n]
@@ -161,7 +163,8 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
 
 def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
-                      maxv: int, block: int, page_tris: int):
+                      maxv: int, block: int, page_tris: int,
+                      block_obj=None, excl=None):
     """Page-list culling with range fallback.
 
     Conservative visibility is evaluated at fine BLOCK granularity
@@ -176,7 +179,8 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     (lo_page, range_pages, page_cnt, use_list, 0...) then packed entries
     ``page_id | bound16 << 16``, bound-ascending.
     """
-    visible_b, tlo_b, n = _visibility(o, d, tile, block_min, block_max)
+    visible_b, tlo_b, n = _visibility(o, d, tile, block_min, block_max,
+                                      block_obj, excl)
     NB = visible_b.shape[1]
     BPP = page_tris // block            # blocks per page (exact: see prepare)
     NP_ = NB // BPP
@@ -239,8 +243,19 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
 
 
-def _visibility(o, d, tile, block_min, block_max):
-    """Shared conservative (tile, block) visibility mask [n, NB]."""
+def _visibility(o, d, tile, block_min, block_max,
+                block_obj=None, excl=None):
+    """Shared conservative (tile, block) visibility mask [n, NB].
+
+    ``excl`` [n] i32 (with ``block_obj`` [NB] i32, see
+    PreparedScene.block_obj) drops blocks whose every triangle belongs to
+    the tile's excluded object — the shadow-time self-object cull: the
+    reference skips the hit object's OWN triangles entirely
+    (simple_raytracer.cpp:331), so when every shadow ray of a tile leaves
+    the same object, that object's pure blocks can never occlude the tile
+    and need not be fetched/tested at all.  -2 (or any id matching no
+    block) disables masking for that tile; impure blocks carry -9.
+    """
     o, d, _ = pad_rays(o, d, tile)
     n = o.shape[0] // tile
     ot = o.reshape(n, tile, 3)
@@ -268,6 +283,8 @@ def _visibility(o, d, tile, block_min, block_max):
     # front-to-back quantization (qscale=inf -> floor_t=NaN -> bogus early
     # break in the kernel).
     visible = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo < jnp.inf)
+    if block_obj is not None and excl is not None:
+        visible = visible & (block_obj[None, :] != excl[:, None])
     return visible, jnp.maximum(t_lo, 0.0), n
 
 
@@ -751,20 +768,22 @@ class BlockSet:
                    block_size=int(bs))
 
 
-def _cull(origin, direction, tile, prep, maxv):
+def _cull(origin, direction, tile, prep, maxv, excl=None):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
     exact page lists with range fallback; maxv == 0: pure page ranges.
     Scenes beyond the 16-bit page-id space of list entries (> 65536 pages
-    = 8.4M triangles at page_tris 128) force range mode."""
+    = 8.4M triangles at page_tris 128) force range mode.  ``excl`` [n] i32:
+    per-tile self-object id to cull (shadow passes; see _visibility)."""
     pt = prep.page_tris
+    bobj = getattr(prep, "block_obj", None) if excl is not None else None
     if prep.num_pages > 65536:
         maxv = 0
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv,
-                                 prep.block_size, pt)
+                                 prep.block_size, pt, bobj, excl)
     lo, cnt = cull_blocks(origin, direction, tile,
-                          prep.block_min, prep.block_max)
+                          prep.block_min, prep.block_max, bobj, excl)
     # convert the covering block range to the covering PAGE range
     bpp = pt // prep.block_size
     lo_p = lo // bpp
@@ -807,12 +826,14 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
         if S > 1 and point.shape[0] % S == 0:
             return _shadow_folded(prep, Gt, page_tris, tile, eps, maxv,
                                   no_max_t, S, point, light, self_obj, hit)
+        so = self_obj.astype(jnp.float32)
         if hit is not None:
             # tile-aware repair: a miss ray's pinned (0,0,0) origin would
             # blow the tile's cull bounds from the camera to the surface.
-            # Replace miss origins with a hit point FROM THE SAME TILE
-            # (their occlusion results are discarded), and drop hitless
-            # tiles entirely.
+            # Replace miss origins (AND their self-object ids, so tile
+            # purity below reflects real hits) with a hit FROM THE SAME
+            # TILE (their occlusion results are discarded), and drop
+            # hitless tiles entirely.
             R0 = point.shape[0]
             padn = (-R0) % tile
             if padn:
@@ -820,26 +841,36 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
                     [point, jnp.zeros((padn, 3), point.dtype)], 0)
                 hit = jnp.concatenate(
                     [hit, jnp.zeros((padn,), hit.dtype)], 0)
+                so = jnp.concatenate(
+                    [so, jnp.broadcast_to(so[-1:], (padn,))], 0)
             nt = point.shape[0] // tile
             p3 = point.reshape(nt, tile, 3)
             h2 = hit.reshape(nt, tile)
+            s2 = so.reshape(nt, tile)
             first = jnp.argmax(h2, axis=1)
             fill = jnp.take_along_axis(
                 p3, first[:, None, None].repeat(3, axis=2), axis=1)
             p3 = jnp.where(h2[..., None], p3, fill)
+            s2 = jnp.where(h2, s2,
+                           jnp.take_along_axis(s2, first[:, None], axis=1))
             any_hit = h2.any(axis=1)
             point = p3.reshape(-1, 3)[:R0]
+            so = s2.reshape(-1)[:R0]
         d = light - point
         F, n, R = ray_tile_features(point, d, tile)
-        plan = _cull(point, d, tile, prep, maxv)
-        if hit is not None:
-            plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
-        so = self_obj.astype(jnp.float32)
         pad = n * tile - R
         if pad:
             so = jnp.concatenate(
                 [so, jnp.broadcast_to(so[-1:], (pad,))], 0)
-        found = tiled_anyhit(F, so.reshape(n, tile), plan, Gt,
+        s2 = so.reshape(n, tile)
+        # self-object cull: tiles whose rays all leave one object drop that
+        # object's pure blocks at plan time (see _visibility)
+        pure = jnp.all(s2 == s2[:, :1], axis=1)
+        excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
+        plan = _cull(point, d, tile, prep, maxv, excl)
+        if hit is not None:
+            plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
+        found = tiled_anyhit(F, s2, plan, Gt,
                              tile, page_tris, eps, no_max_t)
         return found.reshape(-1)[:R]
 
@@ -874,12 +905,16 @@ def _shadow_folded(prep, Gt, page_tris, tile, eps, maxv, no_max_t, S,
         if padn:
             h0 = jnp.concatenate([h0, jnp.zeros((padn,), h0.dtype)], 0)
         h2 = h0.reshape(nt, ts)
-        # same-tile origin repair + hitless-tile skip (see the single-sample
-        # path above)
+        # same-tile origin (+ self-object id) repair + hitless-tile skip
+        # (see the single-sample path above)
         first = jnp.argmax(h2, axis=1)
         fill = jnp.take_along_axis(
             p3, first[:, None, None].repeat(3, axis=2), axis=1)
         p3 = jnp.where(h2[..., None], p3, fill)
+        s2r = self0.reshape(nt, ts)
+        self0 = jnp.where(
+            h2, s2r,
+            jnp.take_along_axis(s2r, first[:, None], axis=1)).reshape(-1)
         any_hit = h2.any(axis=1)
 
     # [nt, S, ts, 3] rows: sample-major within each point tile
@@ -888,7 +923,10 @@ def _shadow_folded(prep, Gt, page_tris, tile, eps, maxv, no_max_t, S,
     o_f = o_g.reshape(-1, 3)
     d_f = d_g.reshape(-1, 3)
     F, n2, _ = ray_tile_features(o_f, d_f, S * ts)
-    plan = _cull(o_f, d_f, S * ts, prep, maxv)
+    s2 = self0.reshape(nt, ts)
+    pure = jnp.all(s2 == s2[:, :1], axis=1)
+    excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
+    plan = _cull(o_f, d_f, S * ts, prep, maxv, excl)
     if any_hit is not None:
         plan = jnp.where(any_hit[:, None], plan, 0)
     self_g = jnp.broadcast_to(self0.reshape(nt, 1, ts), (nt, S, ts))
