@@ -20,6 +20,9 @@ CONFIGS = {
     "matmul": {"SRT_TILED_ABLATE": "matmul"},
     "kp8": {"SRT_TILED_SUPER_COLS": "4096"},
     "kp2": {"SRT_TILED_SUPER_COLS": "1024"},
+    # finer pages: tighter culling (fewer pairs) vs 2x DMA descriptors
+    "pt64": {"SRT_PROF_PT": "64"},
+    "pt64kp4": {"SRT_PROF_PT": "64", "SRT_TILED_SUPER_COLS": "1024"},
 }
 
 names = sys.argv[1:] or list(CONFIGS)

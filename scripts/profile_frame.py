@@ -36,7 +36,9 @@ scene = sm.build()
 cfg = default_config().replace(
     mode="tiled",
     camera=CameraConfig(width=W, height=H, focal=6000.0),
-    bvh=BVHConfig(split="sah"))
+    bvh=BVHConfig(split="sah",
+                  page_tris=int(os.environ.get("SRT_PROF_PT", "128")),
+                  block_size=int(os.environ.get("SRT_PROF_BS", "32"))))
 prep = prepare(scene, cfg)
 light = jnp.asarray([500., -300., -200.], jnp.float32)
 o, d = primary_rays(W, H, focal=6000.0)
@@ -46,6 +48,7 @@ operm = jnp.asarray(np.asarray(o)[perm])
 dperm = jnp.asarray(np.asarray(d)[perm])
 TILE = cfg.tile_px * cfg.tile_px
 MAXV = cfg.cull_maxv
+IMPL = tiled.get_impl(None)          # SRT_TILED_IMPL: paged | sublane
 N = 8
 
 
@@ -62,21 +65,20 @@ def timeit(name, fn, *args):
 
 if "cull" in stages:
     def cull_only(prep, o, d, i):
-        plan = tiled._cull(o + i * 1e-4, d, TILE, prep, MAXV)
+        plan = IMPL.cull(prep, o + i * 1e-4, d, TILE, MAXV)
         return plan.astype(jnp.float32).sum()
     timeit("cull", cull_only, prep, operm, dperm)
 
 if "hits" in stages:
     def hits_only(prep, o, d, i):
-        t, idx = tiled.tiled_hits(prep, o + i * 1e-4, d, TILE, cfg.mt_eps,
-                                  MAXV)
+        t, idx = IMPL.hits(prep, o + i * 1e-4, d, TILE, cfg.mt_eps, MAXV)
         return jnp.where(jnp.isfinite(t), t, 0.0).sum()
     timeit("hits", hits_only, prep, operm, dperm)
 
 if "shade" in stages:
     # shade-only on fixed precomputed hits (gathers + phong + tonemap,
     # flat-normal untextured path as the real config uses)
-    t0_, idx0_ = jax.jit(lambda o, d: tiled.tiled_hits(
+    t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
         prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
     t0_ = t0_.block_until_ready()
 
@@ -89,14 +91,15 @@ if "shade" in stages:
 if "occl" in stages:
     # occlusion pass alone on fixed hit points (the real shadow query the
     # integrator issues: origins on surfaces, repaired misses, S=1)
-    t0_, idx0_ = jax.jit(lambda o, d: tiled.tiled_hits(
+    t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
         prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
     t0_ = t0_.block_until_ready()
     hitm = jnp.isfinite(t0_)
     point = jnp.where(hitm[:, None], operm + t0_[:, None] * dperm, 0.0)
     objv = prep.scene.tri_obj[jnp.maximum(idx0_, 0)]
     shadow_fn = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
-                                      cfg.light.shadow_no_max_t, 1)
+                                      cfg.light.shadow_no_max_t, 1,
+                                      impl=IMPL)
 
     def occl_only(point, objv, hitm, i):
         lps = jnp.broadcast_to(light + i * 1e-4, point.shape)

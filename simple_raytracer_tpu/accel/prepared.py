@@ -38,6 +38,12 @@ class PreparedScene:
                               # a tile's own object wholesale (the reference
                               # rule: own-object triangles never occlude,
                               # simple_raytracer.cpp:331).
+    gram_t: jnp.ndarray       # [(NB+pad), 16, 4*block_size] — per-cull-block
+                              # feature-major MT slabs for kernels/tiled_t.py:
+                              # slab lanes are det|u|v|t groups of block_size
+                              # triangles, rows are the 16 ray features.  Any
+                              # run of consecutive blocks is one contiguous
+                              # DMA descriptor (dim-0 slice).
     gram: jnp.ndarray         # [NP, 16, 4*page_tris] — packed MT factors in
                               # PAGES of page_tris consecutive triangles with
                               # page-level scalar grouping
@@ -55,7 +61,8 @@ class PreparedScene:
     block_size: int = dataclasses.field(default=32)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
-            "leaf_count", "block_min", "block_max", "block_obj", "gram")
+            "leaf_count", "block_min", "block_max", "block_obj", "gram_t",
+            "gram")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size")
 
@@ -100,6 +107,40 @@ def pack_pages_np(verts_cart, tri_obj, page_tris: int):
     return gram
 
 
+GRAM_T_PAD_BLOCKS = 8   # zero-row tail so a window starting at the last real
+                        # block stays in bounds (zero det => never a hit)
+
+
+def pack_blocks_np(verts_cart, block_size: int,
+                   pad_blocks: int = GRAM_T_PAD_BLOCKS):
+    """HOST packer for the BLOCK-SLAB (transposed) kernel layout:
+    [T,3,3] -> gram_t [(NB+pad), 16, 4*block_size] f32.
+
+    Each cull block owns one feature-major slab: rows are the 16 ray
+    features (10 real + pad), lanes are det|u|v|t groups of block_size
+    triangles (lane g*BS+t = scalar group g of triangle t).  A window of
+    ANY number of consecutive blocks is ONE contiguous dim-0 DMA
+    descriptor, so fetch granularity drops to a single 32-triangle block;
+    the kernel contracts each slab transposed (quad [4*BS, TILE_R]) so
+    epilogue slices are [BS, TILE_R] — sublane granularity 8, zero lane
+    padding (kernels/tiled_t.py).  Object ids are NOT packed per
+    triangle: blocks are single-object by construction (per-object page
+    padding in prepare), so the any-hit kernel tests block_obj scalars
+    instead."""
+    import numpy as np
+    from ..ops.intersect import pack_mt_gram_np
+    v = np.asarray(verts_cart, np.float32)
+    T = v.shape[0]
+    assert T % block_size == 0, (T, block_size)
+    NB = T // block_size
+    G = pack_mt_gram_np(v)                              # [T, 10, 4]
+    # [NB, 10 features, 4 groups, BS]
+    Gr = G.reshape(NB, block_size, 10, 4).transpose(0, 2, 3, 1)
+    slab = np.zeros((NB + pad_blocks, 16, 4 * block_size), np.float32)
+    slab[:NB, :10] = Gr.reshape(NB, 10, 4 * block_size)
+    return slab
+
+
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     """Build per-object BVHs (reference topology), chain them into one global
     stackless array, reorder+pad the scene, and compute triangle blocks."""
@@ -127,23 +168,58 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     if not bvhs:
         bvhs = [build_bvh(np.zeros((0, 3, 3), np.float32), cfg.bvh.leaf_size)]
         offsets = [0]
-    flat = concat_bvhs(bvhs, offsets)
 
-    scene = scene.reorder(flat.perm)
-
-    # pad triangles to a PAGE multiple (+ leaf window slack) with degenerate
-    # copies of the last vertex: zero area (MT det = 0, never hits) and inside
-    # the last block's AABB.
+    # Pad each OBJECT's triangle range to a PAGE multiple so every cull
+    # block/page is single-object ("pure"): shadow-time self-object
+    # exclusion is then exact at block level and the sublane any-hit kernel
+    # compares ONE scalar object id per block instead of per-triangle ids
+    # (kernels/tiled_t.py).  Pad rows are degenerate copies of a real
+    # vertex of the same object: zero area (MT det = 0, never hits) and
+    # inside the object's last block AABB.  Cost: <= page_tris-1 extra
+    # triangles per object.
     bs = cfg.bvh.block_size
     pt = cfg.bvh.page_tris
     assert pt % bs == 0, f"page_tris {pt} must be a block_size {bs} multiple"
-    pad_to = max(-(-max(T, 1) // pt) * pt, T + flat.max_leaf)
+    counts = [len(b.perm) for b in bvhs]
+    pcounts = [-(-c // pt) * pt for c in counts]
+    poffsets = [0]
+    for pc in pcounts[:-1]:
+        poffsets.append(poffsets[-1] + pc)
+    flat = concat_bvhs(bvhs, poffsets)
+    Tp = poffsets[-1] + pcounts[-1]
+
+    # gather map new padded position -> original triangle row (pads repeat
+    # the object's last real triangle; their rows are degenerated below)
+    src = np.zeros(Tp, np.int32)
+    pad_mask = np.ones(Tp, bool)
+    for b, c, pc, po, ro in zip(bvhs, counts, pcounts, poffsets, offsets):
+        if c:
+            src[po:po + c] = b.perm + ro
+            src[po + c:po + pc] = int(b.perm[-1]) + ro
+            pad_mask[po:po + c] = False
+    scene = scene.reorder(src)
+
+    # tail slack: BVH leaf windows may read up to max_leaf rows past their
+    # first triangle; keep the global array long enough (tri_obj = -1).
+    pad_to = max(-(-max(Tp, 1) // pt) * pt, Tp + flat.max_leaf)
     pad_to = -(-pad_to // pt) * pt
-    pad = pad_to - T
+    pad = pad_to - Tp
     scene_np = {name: np.asarray(getattr(scene, name))
                 for name in Scene._ARRAY_FIELDS}
+    if Tp and pad_mask.any():
+        v0 = scene_np["verts"][pad_mask][:, 0:1, :]
+        scene_np["verts"] = scene_np["verts"].copy()
+        scene_np["verts"][pad_mask] = np.broadcast_to(
+            v0, (int(pad_mask.sum()), 3, 4))
+        for name, fill in (("vnormals", 0.0), ("tri_normal", 0.0),
+                           ("uvs", 0.0), ("tri_color", 1.0)):
+            scene_np[name] = scene_np[name].copy()
+            scene_np[name][pad_mask] = fill
+        scene_np["tri_tex"] = scene_np["tri_tex"].copy()
+        scene_np["tri_tex"][pad_mask] = -1
+        # tri_obj keeps the object id: block purity by construction
     if pad:
-        last_v = (scene_np["verts"][-1, 0:1, :] if T
+        last_v = (scene_np["verts"][-1, 0:1, :] if Tp
                   else np.array([[0, 0, 0, 1]], np.float32))
         scene_np["verts"] = np.concatenate(
             [scene_np["verts"],
@@ -166,15 +242,20 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     bmin, bmax, nb = triangle_blocks(vc, bs)
 
     # per-block object purity (see PreparedScene.block_obj): max over the
-    # block is the candidate id; padding (-1) never disqualifies purity
+    # block is the candidate id; padding (-1) never disqualifies purity.
+    # Per-object page padding above makes EVERY block pure by construction
+    # (the sublane any-hit kernel relies on this for its scalar per-block
+    # self-object test).
     to = np.asarray(padded.tri_obj).reshape(nb, bs)
     mx = to.max(axis=1) if nb else np.zeros((0,), np.int32)
     pure = np.all((to == mx[:, None]) | (to == -1), axis=1)
     block_obj = np.where(pure, mx, -9).astype(np.int32)
+    assert np.all(block_obj != -9), "impure cull block despite object padding"
 
     # precompute the tiled path's packed MT Gram pages + per-triangle object
     # ids here (host numpy) so per-frame renders skip the packing entirely
     gram = pack_pages_np(vc, np.asarray(padded.tri_obj), cfg.bvh.page_tris)
+    gram_t = pack_blocks_np(vc, bs)
 
     ps = PreparedScene(
         scene=padded,
@@ -186,6 +267,7 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         block_min=bmin,
         block_max=bmax,
         block_obj=block_obj,
+        gram_t=gram_t,
         gram=gram,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),

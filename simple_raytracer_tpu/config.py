@@ -106,6 +106,12 @@ class RenderConfig:
     # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px rays).
     tile_px: int = 16
 
+    # Tiled-path kernel implementation: None -> SRT_TILED_IMPL env (default
+    # 'sublane').  'paged' = ray-major 128-tri Gram pages (kernels/tiled.py);
+    # 'sublane' = transposed layout, 32-tri fetch granularity
+    # (kernels/tiled_t.py).
+    tiled_impl: str = None
+
     # Tiled-path cull-list capacity: tiles with <= cull_maxv visible Gram
     # pages get an exact compacted front-to-back list (scalar-prefetch SMEM
     # table); heavier tiles fall back to the covering contiguous range (no

@@ -805,8 +805,29 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float,
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
+# --- impl adapter (see tiled_t.py for the sublane-grouped twin): the shadow
+# front-end below (miss repair, sample folding) is kernel-layout-agnostic and
+# reaches the cull/any-hit backends only through these two functions -------
+
+def cull(prep, origin, direction, tile: int, maxv: int, excl=None):
+    return _cull(origin, direction, tile, prep, maxv, excl)
+
+
+def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
+           no_max_t: bool):
+    """self_obj2d [n, tile] f32 -> found [n, tile] bool."""
+    F, n, R = ray_tile_features(origin, direction, tile)
+    return tiled_anyhit(F, self_obj2d, plan, prep.gram, tile,
+                        prep.page_tris, eps, no_max_t)
+
+
+def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64):
+    return tiled_hits(prep, origin, direction, tile, eps, maxv)
+
+
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
-                    no_max_t: bool = True, num_samples: int = 1):
+                    no_max_t: bool = True, num_samples: int = 1,
+                    impl=None):
     """Occlusion backend for the integrator's shadow contract.
 
     With ``num_samples`` S > 1 (soft shadows), the integrator sends S·R rays
@@ -818,13 +839,13 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
     (sample, tile).  Sample jitter is +3 units cumulative
     (simple_raytracer.cpp:362-383): the direction union stays tight.
     """
-    page_tris = prep.page_tris
-    Gt = prep.gram
+    import sys
+    impl = impl or sys.modules[__name__]
 
     def shadow(point, light, self_obj, hit=None):
         S = num_samples
         if S > 1 and point.shape[0] % S == 0:
-            return _shadow_folded(prep, Gt, page_tris, tile, eps, maxv,
+            return _shadow_folded(prep, impl, tile, eps, maxv,
                                   no_max_t, S, point, light, self_obj, hit)
         so = self_obj.astype(jnp.float32)
         if hit is not None:
@@ -857,7 +878,8 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
             point = p3.reshape(-1, 3)[:R0]
             so = s2.reshape(-1)[:R0]
         d = light - point
-        F, n, R = ray_tile_features(point, d, tile)
+        R = point.shape[0]
+        n = -(-R // tile)
         pad = n * tile - R
         if pad:
             so = jnp.concatenate(
@@ -867,17 +889,16 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
         # object's pure blocks at plan time (see _visibility)
         pure = jnp.all(s2 == s2[:, :1], axis=1)
         excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
-        plan = _cull(point, d, tile, prep, maxv, excl)
+        plan = impl.cull(prep, point, d, tile, maxv, excl)
         if hit is not None:
             plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
-        found = tiled_anyhit(F, s2, plan, Gt,
-                             tile, page_tris, eps, no_max_t)
+        found = impl.anyhit(prep, point, d, s2, plan, tile, eps, no_max_t)
         return found.reshape(-1)[:R]
 
     return shadow
 
 
-def _shadow_folded(prep, Gt, page_tris, tile, eps, maxv, no_max_t, S,
+def _shadow_folded(prep, impl, tile, eps, maxv, no_max_t, S,
                    point, light, self_obj, hit):
     """S-sample occlusion with per-point-tile plan/DMA sharing (see
     tiled_shadow_fn).  Rays arrive sample-major ([S*R]; origin rows repeat
@@ -922,28 +943,43 @@ def _shadow_folded(prep, Gt, page_tris, tile, eps, maxv, no_max_t, S,
     d_g = lights.reshape(S, nt, ts, 3).transpose(1, 0, 2, 3) - o_g
     o_f = o_g.reshape(-1, 3)
     d_f = d_g.reshape(-1, 3)
-    F, n2, _ = ray_tile_features(o_f, d_f, S * ts)
     s2 = self0.reshape(nt, ts)
     pure = jnp.all(s2 == s2[:, :1], axis=1)
     excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
-    plan = _cull(o_f, d_f, S * ts, prep, maxv, excl)
+    plan = impl.cull(prep, o_f, d_f, S * ts, maxv, excl)
     if any_hit is not None:
         plan = jnp.where(any_hit[:, None], plan, 0)
     self_g = jnp.broadcast_to(self0.reshape(nt, 1, ts), (nt, S, ts))
-    found = tiled_anyhit(F, self_g.reshape(nt, S * ts), plan, Gt,
-                         S * ts, page_tris, eps, no_max_t)
+    found = impl.anyhit(prep, o_f, d_f, self_g.reshape(nt, S * ts), plan,
+                        S * ts, eps, no_max_t)
     found = found.reshape(nt, S, ts).transpose(1, 0, 2).reshape(S, -1)
     return found[:, :R].reshape(-1)
+
+
+def get_impl(name: str = None):
+    """Kernel implementation registry: 'paged' (ray-major, this module) or
+    'sublane' (transposed, kernels/tiled_t.py).  ``None`` reads the
+    SRT_TILED_IMPL env knob (default 'sublane' — measured faster at equal
+    semantics; see DESIGN.md)."""
+    import sys
+    name = name or _os.environ.get("SRT_TILED_IMPL", "sublane")
+    if name == "paged":
+        return sys.modules[__name__]
+    if name == "sublane":
+        from . import tiled_t
+        return tiled_t
+    raise ValueError(f"unknown tiled kernel impl {name!r}")
 
 
 def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
     tile = cfg.tile_px * cfg.tile_px
-    t, tri_idx = tiled_hits(prep, origin, direction, tile, cfg.mt_eps,
-                            cfg.cull_maxv)
+    impl = get_impl(cfg.tiled_impl)
+    t, tri_idx = impl.hits(prep, origin, direction, tile, cfg.mt_eps,
+                           cfg.cull_maxv)
     shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv,
                                 cfg.light.shadow_no_max_t,
-                                cfg.light.num_samples) \
+                                cfg.light.num_samples, impl=impl) \
         if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
                                 tri_idx, light_pos, shadow_fn)

@@ -1,0 +1,444 @@
+"""Sublane-grouped (transposed) tiled Pallas renderer.
+
+Same algorithm as kernels/tiled.py (MXU Möller–Trumbore over culled triangle
+windows, front-to-back lists, early termination) with the two matmul axes
+SWAPPED: triangles-scalars ride the SUBLANE axis and rays ride the LANE axis.
+
+Why: the ray-major kernel's epilogue slices are [TILE_R, page_tris] — the
+VPU's 128-lane width forces page_tris >= 128, so the fetch/test unit cannot
+drop below 128 triangles without lane-padding waste.  Sublane granularity is
+8, not 128: with quads shaped [4*block, TILE_R] the epilogue slices are
+[block, TILE_R] (block=32 -> 4 sublane tiles, zero padding), so the
+fetch/test unit is ONE 32-triangle cull block.  Measured on the bench scene
+that cuts tested pairs 2.5x (1990 -> 807 tris/ray at 16x16 tiles) and HBM
+traffic with it (scripts/cull_stats.py).
+
+Layout (accel/prepared.py:pack_blocks_np): gram_t [(NB+pad), 16, 4*BS] —
+each cull block owns one feature-major slab (lanes: det|u|v|t groups of BS
+triangles, rows: 16 ray features).  A WINDOW of WB consecutive blocks is
+ONE contiguous dim-0 DMA descriptor of WB*16*4*BS*4 bytes; the cull pass
+IS the paged path's tiled.cull_blocks_lists with page_tris = WB*BS
+(block-granularity visibility OR-reduced to aligned windows, front-to-back
+bucket-ordered), so both impls share one cull cost.
+Per super-step the kernel fetches KW windows (KW descriptors) and runs one
+transposed [16, 4*BS]^T @ [16, TILE_R] contraction per resident block
+(quad [4*BS, TILE_R] — triangles on SUBLANES, which is the whole point).
+
+Reference behavior matched: nearest hit (simple_raytracer.cpp:296-317) and
+any-hit occlusion with the self-object skip (:321-342); misses t=+inf/idx=-1.
+Falls back to interpret mode off-TPU so the same code is CPU-testable.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..ops import intersect as isect
+from ..render import integrator
+from ..utils import pad_rays
+from . import tiled as _ray_major
+
+F_DIM = _ray_major.F_DIM
+PLAN_W = _ray_major.PLAN_W
+PLAN_AUX = _ray_major.PLAN_AUX
+PLAN_MAXV = _ray_major.PLAN_MAXV
+T_BUCKETS = _ray_major.T_BUCKETS
+_PRECISION = _ray_major._PRECISION
+_SYNC_DMA = _ray_major._SYNC_DMA
+_NO_BREAK = _ray_major._NO_BREAK
+_interpret = _ray_major._interpret
+
+# Windows per super-step (KW DMA descriptors, one contraction).  ROWS of the
+# Gram operand per step = SUPER_ROWS = KW * WB * 4 * block_size.
+SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "1024"))
+# Window width in cull blocks (the aligned fetch/cull unit).  1 = per-block
+# fetches (tightest culling: ~807 tris/ray on the bench scene vs ~1990 at
+# 128-tri pages, scripts/cull_stats.py — but the most descriptors).
+WINDOW_BLOCKS = int(_os.environ.get("SRT_TILED_WB", "2"))
+
+
+def _kw(block: int, wb: int) -> int:
+    """Windows per super-step."""
+    return max(SUPER_ROWS // (4 * block * wb), 1)
+
+
+def ray_tile_features_t(o: jnp.ndarray, d: jnp.ndarray, tile: int):
+    """Flat rays [R,3] -> (Ft [n_tiles, F_DIM, tile], n_tiles, R)."""
+    F, n, R = _ray_major.ray_tile_features(o, d, tile)
+    return F.transpose(0, 2, 1), n, R
+
+
+def _tile_plan_t(plan_ref, i, wb):
+    """Per-tile plan: window count, k -> window-start-BLOCK mapping, list
+    flag, and the conservative 16-bit entry-t bound per position.  Plan
+    entries carry aligned WINDOW ids (block id // wb) straight from
+    tiled.cull_blocks_lists with page_tris = wb*block_size."""
+    lo = plan_ref[i, 0]
+    use_list = plan_ref[i, 3] == 1
+    cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
+
+    def entry(k):
+        return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
+
+    def start(k):
+        return jnp.where(use_list, entry(k) & 0xFFFF, lo + k) * wb
+
+    def bound16(k):
+        return jax.lax.shift_right_logical(entry(k), 16)
+    return cnt, start, use_list, bound16
+
+
+def _win_dma(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
+    """Start the KW window fetches of super-step j (each ONE contiguous
+    dim-0 descriptor of WB block slabs).  Unconditional — invalid steps
+    clamp to a valid window (conservative culling: extra real triangles
+    cannot win; the zero tail pad has det 0)."""
+    KW = _kw(BS, WB)
+    nbw = G_hbm.shape[0] - WB
+    for k in range(KW):
+        s = jnp.clip(start(j * KW + k), 0, nbw)
+        pltpu.make_async_copy(
+            G_hbm.at[pl.ds(s, WB)],
+            gbuf.at[slot, pl.ds(k * WB, WB)],
+            sem_g.at[slot, k]).start()
+
+
+def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
+    KW = _kw(BS, WB)
+    nbw = G_hbm.shape[0] - WB
+    for k in range(KW):
+        s = jnp.clip(start(j * KW + k), 0, nbw)
+        pltpu.make_async_copy(
+            G_hbm.at[pl.ds(s, WB)],
+            gbuf.at[slot, pl.ds(k * WB, WB)],
+            sem_g.at[slot, k]).wait()
+
+
+def _block_quad(gbuf, slot, kb, Ft):
+    """Contract one resident block slab against the tile's ray features:
+    [16, 4*BS]^T @ [16, TILE_R] -> quad [4*BS, TILE_R] (triangles on
+    sublanes — transposed-lhs dot_general, verified native on Mosaic)."""
+    return jax.lax.dot_general(
+        gbuf[slot, kb], Ft, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+
+
+def _mt_epilogue_t(quad, BS, eps):
+    """One block's quad [4*BS, TILE_R] -> t [BS, TILE_R] with misses=+inf.
+    Identical math to tiled._mt_epilogue, transposed."""
+    det = quad[0:BS]
+    inv = 1.0 / det
+    u = quad[BS:2 * BS] * inv
+    v = quad[2 * BS:3 * BS] * inv
+    t = quad[3 * BS:4 * BS] * inv
+    m = jnp.minimum(jnp.minimum(u, v), jnp.minimum(1.0 - (u + v), t))
+    valid = (jnp.abs(det) >= eps) & (m >= 0.0)
+    return jnp.where(valid, t, jnp.inf)
+
+
+def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
+                      t_ref, idx_ref, gbuf, sem_g):
+    i = pl.program_id(0)
+    KW = _kw(BS, WB)
+    cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
+    ns = (cnt + KW - 1) // KW
+    Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
+    TILE_R = Ft.shape[1]
+
+    if not _SYNC_DMA:
+        @pl.when(ns > 0)
+        def _():
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+
+    def cond(state):
+        j, done, best_t, best_i = state
+        return (j < ns) & ~done
+
+    def body(state):
+        j, _, best_t, best_i = state
+        slot = j % 2 if not _SYNC_DMA else 0
+
+        if _SYNC_DMA:
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+        else:
+            @pl.when(j + 1 < ns)
+            def _():
+                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                         BS, WB)
+
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        # fully elementwise per block: [BS, TILE_R] accumulators, the
+        # argmin lane/sublane reductions deferred to after the loop.
+        # Clamped duplicate windows fold idempotently.
+        row = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_R), 0)
+        for k in range(KW):
+            nbw = G_hbm.shape[0] - WB
+            s = jnp.clip(start(j * KW + k), 0, nbw)
+            for b in range(WB):
+                quad = _block_quad(gbuf, slot, k * WB + b, Ft)
+                t = _mt_epilogue_t(quad, BS, eps)
+                idv = (s + b) * BS + row
+                imp = t < best_t
+                best_t = jnp.where(imp, t, best_t)
+                best_i = jnp.where(imp, idv, best_i)
+        if _NO_BREAK:
+            done = jnp.bool_(False)
+        else:
+            # front-to-back break (see tiled._nearest_kernel): per-ray best
+            # is a cheap cross-SUBLANE min; the one cross-lane reduction per
+            # step is the max, compared in int space.
+            per_ray = jnp.min(best_t, axis=0, keepdims=True)   # [1, TILE_R]
+            worst_bits = jnp.max(jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(per_ray, jnp.int32), 16))
+            done = use_list & (worst_bits < bound16((j + 1) * KW))
+        return j + 1, done, best_t, best_i
+
+    init = (jnp.int32(0), jnp.bool_(False),
+            jnp.full((BS, TILE_R), jnp.inf, jnp.float32),
+            jnp.full((BS, TILE_R), -1, jnp.int32))
+    j_end, _, tv, iv = jax.lax.while_loop(cond, body, init)
+
+    if not _SYNC_DMA:
+        @pl.when(j_end < ns)
+        def _():
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+
+    bt = jnp.min(tv, axis=0, keepdims=True)              # [1, TILE_R]
+    bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
+                  axis=0, keepdims=True)
+    t_ref[0] = bt
+    idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
+
+
+def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
+                     bobj_ref, Ft_ref, self_ref, G_hbm, hit_ref, gbuf, sem_g):
+    """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
+    no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
+    free MT predicate on the numerators; the self-object test is ONE
+    scalar compare per block (``bobj_ref`` SMEM, blocks are single-object
+    by construction — accel/prepared.py per-object page padding)."""
+    i = pl.program_id(0)
+    KW = _kw(BS, WB)
+    cnt, start, use_list, _b16 = _tile_plan_t(plan_ref, i, WB)
+    ns = (cnt + KW - 1) // KW
+    Ft = Ft_ref[0]
+    TILE_R = Ft.shape[1]
+    self_obj = self_ref[0]                               # [1, TILE_R] f32
+
+    if not _SYNC_DMA:
+        @pl.when(ns > 0)
+        def _():
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+
+    def cond(state):
+        j, found, done = state
+        return (j < ns) & ~done
+
+    def body(state):
+        j, found, _ = state
+        slot = j % 2 if not _SYNC_DMA else 0
+
+        if _SYNC_DMA:
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+        else:
+            @pl.when(j + 1 < ns)
+            def _():
+                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                         BS, WB)
+
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
+        nbw = G_hbm.shape[0] - WB
+        for k in range(KW):
+            s = jnp.clip(start(j * KW + k), 0, nbw)     # same clamp as DMA
+            for b in range(WB):
+                kb = k * WB + b
+                quad = _block_quad(gbuf, slot, kb, Ft)   # [4*BS, TILE_R]
+                det = quad[0:BS]
+                u_num = quad[BS:2 * BS]
+                v_num = quad[2 * BS:3 * BS]
+                t_num = quad[3 * BS:4 * BS]
+                adet = jnp.abs(det)
+                occ = (adet >= eps) & \
+                    (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
+                    (v_num * det >= 0.0) & \
+                    (jnp.abs(u_num + v_num) <= adet) & \
+                    (t_num * det >= 0.0)
+                if not no_max_t:
+                    occ = occ & (jnp.abs(t_num) <= adet)
+                # scalar per-block self-object skip (blocks are pure)
+                obj_s = bobj_ref[s + b].astype(jnp.float32)
+                occ = occ & (obj_s != self_obj)
+                occ_vec = jnp.maximum(occ_vec, jnp.where(occ, 1.0, 0.0))
+        occ1 = jnp.max(occ_vec, axis=0, keepdims=True)   # [1, TILE_R]
+        found = jnp.maximum(found, occ1)
+        return j + 1, found, jnp.min(found) > 0.0
+
+    init = (jnp.int32(0), jnp.zeros((1, TILE_R), jnp.float32),
+            jnp.bool_(False))
+    j_end, found, _ = jax.lax.while_loop(cond, body, init)
+
+    if not _SYNC_DMA:
+        @pl.when(j_end < ns)
+        def _():
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+
+    hit_ref[0] = (found > 0.0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers (same chunking/SMEM limits as the ray-major path)
+# ---------------------------------------------------------------------------
+
+_out_struct = _ray_major._out_struct
+_chunk_tiles = _ray_major._chunk_tiles
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps"))
+def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
+    """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [(NB+pad),16,4*block]
+    -> (t [n,tile], idx [n,tile])."""
+    n = Ft.shape[0]
+    KW = _kw(block, wb)
+
+    def call(Fc, planc):
+        nl = Fc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, KW * wb, F_DIM, 4 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KW)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_nearest_kernel_t, block, wb, eps),
+            grid_spec=grid_spec,
+            out_shape=[
+                _out_struct((nl, 1, tile), jnp.float32, Fc),
+                _out_struct((nl, 1, tile), jnp.int32, Fc),
+            ],
+            interpret=_interpret(),
+        )(planc, Fc, Gt)
+
+    t, idx = _chunk_tiles(call, n, Ft, plan)
+    return t.reshape(n, tile), idx.reshape(n, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
+                                             "no_max_t"))
+def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
+                   wb: int, eps: float, no_max_t: bool = True):
+    """Occlusion query.  self_obj [n, 1, tile] f32, bobj [NB+pad] i32
+    per-block object ids.  -> found [n, tile]."""
+    n = Ft.shape[0]
+    KW = _kw(block, wb)
+
+    def call(Fc, selfc, planc):
+        nl = Fc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, KW * wb, F_DIM, 4 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KW)),
+            ],
+        )
+        (found,) = pl.pallas_call(
+            functools.partial(_anyhit_kernel_t, block, wb, eps, no_max_t),
+            grid_spec=grid_spec,
+            out_shape=[_out_struct((nl, 1, tile), jnp.int32, Fc)],
+            interpret=_interpret(),
+        )(planc, bobj, Fc, selfc, Gt)
+        return found
+
+    found = _chunk_tiles(call, n, Ft, self_obj, plan)
+    return found.reshape(n, tile) != 0
+
+
+# ---------------------------------------------------------------------------
+# Impl adapter: the integrator-facing API (kernels/tiled.py front-end
+# machinery — shadow repair, sample folding — is impl-agnostic and calls
+# these through the ``impl`` parameter)
+# ---------------------------------------------------------------------------
+
+def cull(prep, origin, direction, tile: int, maxv: int, excl=None):
+    """Plan builder for the sublane kernels.
+
+    Fetch unit = aligned WINDOW of WINDOW_BLOCKS consecutive cull blocks;
+    conservative visibility stays at block granularity and OR-reduces to
+    windows — this is exactly tiled.cull_blocks_lists with
+    page_tris = wb*block_size, so the sublane path shares the paged path's
+    cull cost (no per-tile greedy cover).  Scenes beyond the 16-bit
+    window-id space force range mode."""
+    wb = WINDOW_BLOCKS
+    bobj = getattr(prep, "block_obj", None) if excl is not None else None
+    NB = prep.block_min.shape[0]
+    assert NB % wb == 0, (NB, wb)
+    if maxv > 0 and NB // wb <= 65536:
+        return _ray_major.cull_blocks_lists(
+            origin, direction, tile, prep.block_min, prep.block_max,
+            maxv, prep.block_size, wb * prep.block_size, bobj, excl)
+    lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
+                                     prep.block_min, prep.block_max,
+                                     bobj, excl)
+    # convert the covering block range to aligned window units
+    ulo = lo // wb
+    ucnt = jnp.where(cnt > 0, -(-(lo + cnt) // wb) - ulo, 0).astype(jnp.int32)
+    n = lo.shape[0]
+    z = jnp.zeros_like(lo)
+    aux = jnp.stack([ulo, ucnt, z, z, z, z, z, z], axis=-1)
+    return jnp.concatenate(
+        [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
+
+
+def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
+    """Nearest hit over flat rays.  Returns (t [R], idx [R])."""
+    Ft, n, R = ray_tile_features_t(origin, direction, tile)
+    plan = cull(prep, origin, direction, tile, maxv)
+    t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
+                             prep.block_size, WINDOW_BLOCKS, eps)
+    return t.reshape(-1)[:R], idx.reshape(-1)[:R]
+
+
+def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
+           no_max_t: bool):
+    """self_obj2d [n, tile] f32 -> found [n, tile] bool."""
+    Ft, n, R = ray_tile_features_t(origin, direction, tile)
+    # per-block ids padded to the gram_t slab count (pad blocks: -1 never
+    # matches a real self id; their triangles are degenerate anyway)
+    npad = prep.gram_t.shape[0] - prep.block_obj.shape[0]
+    bobj = jnp.concatenate(
+        [prep.block_obj, jnp.full((npad,), -1, jnp.int32)])
+    return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
+                          prep.gram_t, bobj, tile, prep.block_size,
+                          WINDOW_BLOCKS, eps, no_max_t)

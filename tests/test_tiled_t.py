@@ -1,0 +1,135 @@
+"""Sublane-grouped (transposed) kernel path vs the jnp oracle (interpret
+mode on CPU).  Mirrors tests/test_tiled.py for kernels/tiled_t.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_raytracer_tpu.config import (default_config, CameraConfig,
+                                         LightConfig)
+from simple_raytracer_tpu.accel.prepared import prepare
+from simple_raytracer_tpu.kernels import tiled, tiled_t
+from simple_raytracer_tpu.ops.camera import primary_rays
+from simple_raytracer_tpu.render.renderer import render, brute_force_hits
+from simple_raytracer_tpu.scene.scene import SceneManager
+import simple_raytracer_tpu.scene.transforms as T
+
+from conftest import reference_asset
+
+
+def _scene(two_objects=True):
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("cube.obj"), key="cube")
+    sm.set_color("cube", (0.2, 0.8, 0.3))
+    sm.transform_triangles(
+        "cube", T.translate((0.0, 5.0, 80.0)) @ T.rotate_y(25.0)
+        @ T.scale(15.0, 15.0, 15.0))
+    if two_objects:
+        sm.load_obj_file(reference_asset("sphere.obj"), key="sphere")
+        sm.set_color("sphere", (0.9, 0.9, 0.2))
+        sm.transform_triangles(
+            "sphere", T.translate((-10.0, -15.0, 60.0))
+            @ T.scale(6.0, 6.0, 6.0))
+    return sm.build()
+
+
+@pytest.mark.parametrize("wb", [1, 2, 4])
+def test_hits_match_bruteforce(monkeypatch, wb):
+    monkeypatch.setattr(tiled_t, "WINDOW_BLOCKS", wb)
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    o, d = primary_rays(64, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+
+    t_ref, idx_ref = jax.jit(lambda s, o, d: brute_force_hits(s, o, d))(
+        prep.scene, o, d)
+    t_k, idx_k = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12))(prep, o, d)
+
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_k),
+                               rtol=1e-4, atol=1e-6)
+    same = np.asarray(idx_ref) == np.asarray(idx_k)
+    assert same.mean() > 0.999, f"idx mismatch fraction {1 - same.mean()}"
+
+
+def test_hits_match_paged_kernel_exactly():
+    """Both kernel layouts run the same Gram contraction at the same
+    precision on identically-packed factors: results must be bit-equal."""
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    o, d = primary_rays(64, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t_p, idx_p = jax.jit(
+        lambda p, o, d: tiled.tiled_hits(p, o, d, 256, 1e-12))(prep, o, d)
+    t_s, idx_s = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12))(prep, o, d)
+    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
+
+
+def test_range_fallback_matches_lists():
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    o, d = primary_rays(64, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t_l, idx_l = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12, maxv=248))(
+            prep, o, d)
+    t_r, idx_r = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12, maxv=0))(
+            prep, o, d)
+    np.testing.assert_array_equal(np.asarray(t_l), np.asarray(t_r))
+    np.testing.assert_array_equal(np.asarray(idx_l), np.asarray(idx_r))
+
+
+def test_render_matches_bruteforce_image():
+    scene = _scene()
+    cam = CameraConfig(width=64, height=32)
+    cfg_bf = default_config().replace(mode="bruteforce", camera=cam)
+    cfg_tl = default_config().replace(mode="tiled", camera=cam,
+                                      tiled_impl="sublane")
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+
+    img_bf = np.asarray(render(scene, cfg_bf, light))
+    img_tl = np.asarray(render(scene, cfg_tl, light))
+    diff = np.abs(img_bf.astype(int) - img_tl.astype(int))
+    assert (diff <= 1).mean() > 0.999, f"max diff {diff.max()}"
+    assert (diff == 0).mean() > 0.98
+
+
+def test_shadow_matches_bruteforce():
+    """Hard-shadow occlusion through the sublane any-hit kernel (incl. the
+    self-object skip read from det-row feature column 10)."""
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    o, d = primary_rays(32, 16)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t, idx = jax.jit(lambda s, o, d: brute_force_hits(s, o, d))(
+        prep.scene, o, d)
+    point = np.asarray(o + np.asarray(t)[:, None] * np.asarray(d))
+    hitm = np.isfinite(np.asarray(t))
+    point = jnp.asarray(np.where(hitm[:, None], point, 0.0))
+    self_obj = prep.scene.tri_obj[jnp.maximum(idx, 0)]
+    light = jnp.broadcast_to(jnp.array([500.0, -300.0, -200.0]), point.shape)
+
+    from simple_raytracer_tpu.render.renderer import brute_force_shadow
+    ref = jax.jit(brute_force_shadow(prep.scene))(point, light, self_obj)
+    fn = tiled.tiled_shadow_fn(prep, 256, 1e-12, impl=tiled_t)
+    got = jax.jit(fn)(point, light, self_obj)
+    np.testing.assert_array_equal(np.asarray(ref)[hitm], np.asarray(got)[hitm])
+
+
+def test_soft_shadow_render_matches_bruteforce():
+    """Folded multi-sample occlusion through the sublane kernel."""
+    scene = _scene()
+    cam = CameraConfig(width=48, height=32)
+    lcfg = LightConfig(enable_shadows=True, num_samples=4)
+    cfg_bf = default_config().replace(mode="bruteforce", camera=cam,
+                                      light=lcfg)
+    cfg_tl = cfg_bf.replace(mode="tiled", tiled_impl="sublane")
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+    img_bf = np.asarray(render(scene, cfg_bf, light))
+    img_tl = np.asarray(render(scene, cfg_tl, light))
+    diff = np.abs(img_bf.astype(int) - img_tl.astype(int))
+    assert (diff <= 1).mean() > 0.999, f"max diff {diff.max()}"
