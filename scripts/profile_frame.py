@@ -35,6 +35,7 @@ sm.transform_triangles(
 scene = sm.build()
 cfg = default_config().replace(
     mode="tiled",
+    tile_px=int(os.environ.get("SRT_PROF_TILE", "16")),
     camera=CameraConfig(width=W, height=H, focal=6000.0),
     bvh=BVHConfig(split="sah",
                   page_tris=int(os.environ.get("SRT_PROF_PT", "128")),

@@ -38,12 +38,15 @@ class PreparedScene:
                               # a tile's own object wholesale (the reference
                               # rule: own-object triangles never occlude,
                               # simple_raytracer.cpp:331).
-    gram_t: jnp.ndarray       # [(NB+pad), 16, 4*block_size] — per-cull-block
-                              # feature-major MT slabs for kernels/tiled_t.py:
-                              # slab lanes are det|u|v|t groups of block_size
-                              # triangles, rows are the 16 ray features.  Any
-                              # run of consecutive blocks is one contiguous
-                              # DMA descriptor (dim-0 slice).
+    gram_t: jnp.ndarray       # [16, (NB+pad)*4*block_size] — feature-major
+                              # MT factors for kernels/tiled_t.py: rows are
+                              # the 16 ray features, lanes are block-major
+                              # det|u|v|t groups of block_size triangles
+                              # (lane b*4*BS + g*BS + t).  A window of
+                              # consecutive blocks is one 128-aligned lane
+                              # slice = one (strided) DMA descriptor, and a
+                              # super-step's fetched lanes contract in ONE
+                              # transposed matmul.
     gram: jnp.ndarray         # [NP, 16, 4*page_tris] — packed MT factors in
                               # PAGES of page_tris consecutive triangles with
                               # page-level scalar grouping
@@ -113,20 +116,21 @@ GRAM_T_PAD_BLOCKS = 8   # zero-row tail so a window starting at the last real
 
 def pack_blocks_np(verts_cart, block_size: int,
                    pad_blocks: int = GRAM_T_PAD_BLOCKS):
-    """HOST packer for the BLOCK-SLAB (transposed) kernel layout:
-    [T,3,3] -> gram_t [(NB+pad), 16, 4*block_size] f32.
+    """HOST packer for the TRANSPOSED (feature-major) kernel layout:
+    [T,3,3] -> gram_t [16, (NB+pad)*4*block_size] f32.
 
-    Each cull block owns one feature-major slab: rows are the 16 ray
-    features (10 real + pad), lanes are det|u|v|t groups of block_size
-    triangles (lane g*BS+t = scalar group g of triangle t).  A window of
-    ANY number of consecutive blocks is ONE contiguous dim-0 DMA
-    descriptor, so fetch granularity drops to a single 32-triangle block;
-    the kernel contracts each slab transposed (quad [4*BS, TILE_R]) so
-    epilogue slices are [BS, TILE_R] — sublane granularity 8, zero lane
-    padding (kernels/tiled_t.py).  Object ids are NOT packed per
-    triangle: blocks are single-object by construction (per-object page
-    padding in prepare), so the any-hit kernel tests block_obj scalars
-    instead."""
+    Rows are the 16 ray features (10 real + pad); lanes are block-major
+    det|u|v|t groups of block_size triangles (lane b*4*BS + g*BS + t =
+    scalar group g of triangle t of cull block b).  Block boundaries land
+    on 128-lane multiples (4*BS = 128 at BS=32), so a window of ANY number
+    of consecutive blocks is one lane-sliced (strided) DMA descriptor —
+    fetch granularity drops to a single 32-triangle block — and all
+    windows of a super-step contract in ONE transposed-lhs matmul
+    (quad [rows, TILE_R], triangles on SUBLANES: epilogue slices are
+    [BS, TILE_R], zero lane padding — kernels/tiled_t.py).  Object ids
+    are NOT packed per triangle: blocks are single-object by construction
+    (per-object page padding in prepare), so the any-hit kernel tests
+    block_obj scalars instead."""
     import numpy as np
     from ..ops.intersect import pack_mt_gram_np
     v = np.asarray(verts_cart, np.float32)
@@ -136,9 +140,10 @@ def pack_blocks_np(verts_cart, block_size: int,
     G = pack_mt_gram_np(v)                              # [T, 10, 4]
     # [NB, 10 features, 4 groups, BS]
     Gr = G.reshape(NB, block_size, 10, 4).transpose(0, 2, 3, 1)
-    slab = np.zeros((NB + pad_blocks, 16, 4 * block_size), np.float32)
-    slab[:NB, :10] = Gr.reshape(NB, 10, 4 * block_size)
-    return slab
+    cols = np.zeros((16, (NB + pad_blocks) * 4 * block_size), np.float32)
+    cols[:10, :NB * 4 * block_size] = Gr.transpose(1, 0, 2, 3).reshape(
+        10, NB * 4 * block_size)
+    return cols
 
 
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:

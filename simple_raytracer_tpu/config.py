@@ -103,8 +103,13 @@ class RenderConfig:
     # 'tiled'      — TPU perf path: per-tile block culling + Pallas MXU kernel
     mode: str = "bruteforce"
 
-    # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px rays).
-    tile_px: int = 16
+    # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px
+    # rays).  32 measured best on TPU: DMA descriptor issue (~1us each)
+    # dominates the tiled kernels, and a 32x32 tile amortizes each
+    # geometry-window fetch over 4x the rays of a 16x16 tile (bench scene:
+    # full shadowed frame 281 -> 226 ms; the occlusion kernel alone
+    # 38 -> 13 ms).  Small renders still work (tile padding clamps).
+    tile_px: int = 32
 
     # Tiled-path kernel implementation: None -> SRT_TILED_IMPL env (default
     # 'sublane').  'paged' = ray-major 128-tri Gram pages (kernels/tiled.py);

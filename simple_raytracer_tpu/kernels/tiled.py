@@ -889,7 +889,8 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
         # object's pure blocks at plan time (see _visibility)
         pure = jnp.all(s2 == s2[:, :1], axis=1)
         excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
-        plan = impl.cull(prep, point, d, tile, maxv, excl)
+        plan = getattr(impl, 'cull_occl', impl.cull)(
+            prep, point, d, tile, maxv, excl)
         if hit is not None:
             plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
         found = impl.anyhit(prep, point, d, s2, plan, tile, eps, no_max_t)
@@ -946,7 +947,8 @@ def _shadow_folded(prep, impl, tile, eps, maxv, no_max_t, S,
     s2 = self0.reshape(nt, ts)
     pure = jnp.all(s2 == s2[:, :1], axis=1)
     excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
-    plan = impl.cull(prep, o_f, d_f, S * ts, maxv, excl)
+    plan = getattr(impl, 'cull_occl', impl.cull)(
+        prep, o_f, d_f, S * ts, maxv, excl)
     if any_hit is not None:
         plan = jnp.where(any_hit[:, None], plan, 0)
     self_g = jnp.broadcast_to(self0.reshape(nt, 1, ts), (nt, S, ts))

@@ -13,16 +13,18 @@ fetch/test unit is ONE 32-triangle cull block.  Measured on the bench scene
 that cuts tested pairs 2.5x (1990 -> 807 tris/ray at 16x16 tiles) and HBM
 traffic with it (scripts/cull_stats.py).
 
-Layout (accel/prepared.py:pack_blocks_np): gram_t [(NB+pad), 16, 4*BS] —
-each cull block owns one feature-major slab (lanes: det|u|v|t groups of BS
-triangles, rows: 16 ray features).  A WINDOW of WB consecutive blocks is
-ONE contiguous dim-0 DMA descriptor of WB*16*4*BS*4 bytes; the cull pass
-IS the paged path's tiled.cull_blocks_lists with page_tris = WB*BS
+Layout (accel/prepared.py:pack_blocks_np): gram_t [16, (NB+pad)*4*BS] —
+feature-major: rows are the 16 ray features, lanes are block-major
+det|u|v|t groups of BS triangles.  A WINDOW of WB consecutive blocks is a
+128-aligned lane slice = ONE (strided) DMA descriptor; the cull pass IS
+the paged path's tiled.cull_blocks_lists with page_tris = WB*BS
 (block-granularity visibility OR-reduced to aligned windows, front-to-back
 bucket-ordered), so both impls share one cull cost.
-Per super-step the kernel fetches KW windows (KW descriptors) and runs one
-transposed [16, 4*BS]^T @ [16, TILE_R] contraction per resident block
-(quad [4*BS, TILE_R] — triangles on SUBLANES, which is the whole point).
+Per super-step the kernel fetches KW windows (KW descriptors) and runs ONE
+transposed [16, KW*WB*4*BS]^T @ [16, TILE_R] contraction
+(quad [rows, TILE_R] — triangles on SUBLANES, which is the whole point:
+epilogue slices are [BS, TILE_R], zero lane padding at 32-tri granularity,
+and the single big-M matmul avoids per-block MXU issue overhead).
 
 Reference behavior matched: nearest hit (simple_raytracer.cpp:296-317) and
 any-hit occlusion with the self-object skip (:321-342); misses t=+inf/idx=-1.
@@ -53,15 +55,21 @@ T_BUCKETS = _ray_major.T_BUCKETS
 _PRECISION = _ray_major._PRECISION
 _SYNC_DMA = _ray_major._SYNC_DMA
 _NO_BREAK = _ray_major._NO_BREAK
+_ABLATE = _ray_major._ABLATE
 _interpret = _ray_major._interpret
 
 # Windows per super-step (KW DMA descriptors, one contraction).  ROWS of the
 # Gram operand per step = SUPER_ROWS = KW * WB * 4 * block_size.
-SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "1024"))
+SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
 # Window width in cull blocks (the aligned fetch/cull unit).  1 = per-block
 # fetches (tightest culling: ~807 tris/ray on the bench scene vs ~1990 at
-# 128-tri pages, scripts/cull_stats.py — but the most descriptors).
+# 128-tri pages, scripts/cull_stats.py — but the most descriptors).  DMA
+# descriptor issue (~1us each) dominates the measured kernel time, so the
+# two query types tune separately: NEAREST keeps WB=2 (front-to-back early
+# break rewards tighter lists: 153 vs 175 ms at WB=4 on the bench scene);
+# ANY-HIT has no ordering gain and takes WB=4 (36 vs 65 ms at WB=2).
 WINDOW_BLOCKS = int(_os.environ.get("SRT_TILED_WB", "2"))
+WINDOW_BLOCKS_AH = int(_os.environ.get("SRT_TILED_WB_AH", "4"))
 
 
 def _kw(block: int, wb: int) -> int:
@@ -95,49 +103,56 @@ def _tile_plan_t(plan_ref, i, wb):
     return cnt, start, use_list, bound16
 
 
+def _nb_total(G_hbm, BS):
+    return G_hbm.shape[1] // (4 * BS)
+
+
 def _win_dma(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
-    """Start the KW window fetches of super-step j (each ONE contiguous
-    dim-0 descriptor of WB block slabs).  Unconditional — invalid steps
-    clamp to a valid window (conservative culling: extra real triangles
-    cannot win; the zero tail pad has det 0)."""
+    """Start the KW window fetches of super-step j (each a 128-aligned lane
+    slice of WB blocks = ONE strided descriptor).  Unconditional — invalid
+    steps clamp to a valid window (conservative culling: extra real
+    triangles cannot win; the zero tail pad has det 0)."""
     KW = _kw(BS, WB)
-    nbw = G_hbm.shape[0] - WB
+    RPB = 4 * BS
+    nbw = _nb_total(G_hbm, BS) - WB
     for k in range(KW):
         s = jnp.clip(start(j * KW + k), 0, nbw)
         pltpu.make_async_copy(
-            G_hbm.at[pl.ds(s, WB)],
-            gbuf.at[slot, pl.ds(k * WB, WB)],
+            G_hbm.at[:, pl.ds(s * RPB, WB * RPB)],
+            gbuf.at[slot, :, pl.ds(k * WB * RPB, WB * RPB)],
             sem_g.at[slot, k]).start()
 
 
 def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
     KW = _kw(BS, WB)
-    nbw = G_hbm.shape[0] - WB
+    RPB = 4 * BS
+    nbw = _nb_total(G_hbm, BS) - WB
     for k in range(KW):
         s = jnp.clip(start(j * KW + k), 0, nbw)
         pltpu.make_async_copy(
-            G_hbm.at[pl.ds(s, WB)],
-            gbuf.at[slot, pl.ds(k * WB, WB)],
+            G_hbm.at[:, pl.ds(s * RPB, WB * RPB)],
+            gbuf.at[slot, :, pl.ds(k * WB * RPB, WB * RPB)],
             sem_g.at[slot, k]).wait()
 
 
-def _block_quad(gbuf, slot, kb, Ft):
-    """Contract one resident block slab against the tile's ray features:
-    [16, 4*BS]^T @ [16, TILE_R] -> quad [4*BS, TILE_R] (triangles on
-    sublanes — transposed-lhs dot_general, verified native on Mosaic)."""
+def _step_quad(gbuf, slot, Ft):
+    """Contract ALL resident lanes of the step against the tile's ray
+    features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
+    [ROWS, TILE_R] (triangles on sublanes — transposed-lhs dot_general,
+    native on Mosaic)."""
     return jax.lax.dot_general(
-        gbuf[slot, kb], Ft, (((0,), (0,)), ((), ())),
+        gbuf[slot], Ft, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PRECISION)
 
 
-def _mt_epilogue_t(quad, BS, eps):
-    """One block's quad [4*BS, TILE_R] -> t [BS, TILE_R] with misses=+inf.
-    Identical math to tiled._mt_epilogue, transposed."""
-    det = quad[0:BS]
+def _mt_epilogue_t(quad, base, BS, eps):
+    """One block's row slice of the step quad -> t [BS, TILE_R] with
+    misses=+inf.  Identical math to tiled._mt_epilogue, transposed."""
+    det = quad[base:base + BS]
     inv = 1.0 / det
-    u = quad[BS:2 * BS] * inv
-    v = quad[2 * BS:3 * BS] * inv
-    t = quad[3 * BS:4 * BS] * inv
+    u = quad[base + BS:base + 2 * BS] * inv
+    v = quad[base + 2 * BS:base + 3 * BS] * inv
+    t = quad[base + 3 * BS:base + 4 * BS] * inv
     m = jnp.minimum(jnp.minimum(u, v), jnp.minimum(1.0 - (u + v), t))
     valid = (jnp.abs(det) >= eps) & (m >= 0.0)
     return jnp.where(valid, t, jnp.inf)
@@ -174,16 +189,22 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
                          BS, WB)
 
         _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        if _ABLATE == "dma":            # measurement only: skip all compute
+            best_t = jnp.minimum(best_t, gbuf[slot][:1, :TILE_R] + 1e30)
+            return j + 1, jnp.bool_(False), best_t, best_i
+        quad = _step_quad(gbuf, slot, Ft)                # [ROWS, TILE_R]
+        if _ABLATE == "matmul":         # measurement only: skip epilogue
+            best_t = jnp.minimum(best_t, quad[:BS] + 1e30)
+            return j + 1, jnp.bool_(False), best_t, best_i
         # fully elementwise per block: [BS, TILE_R] accumulators, the
         # argmin lane/sublane reductions deferred to after the loop.
         # Clamped duplicate windows fold idempotently.
         row = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_R), 0)
+        nbw = _nb_total(G_hbm, BS) - WB
         for k in range(KW):
-            nbw = G_hbm.shape[0] - WB
             s = jnp.clip(start(j * KW + k), 0, nbw)
             for b in range(WB):
-                quad = _block_quad(gbuf, slot, k * WB + b, Ft)
-                t = _mt_epilogue_t(quad, BS, eps)
+                t = _mt_epilogue_t(quad, (k * WB + b) * 4 * BS, BS, eps)
                 idv = (s + b) * BS + row
                 imp = t < best_t
                 best_t = jnp.where(imp, t, best_t)
@@ -254,17 +275,17 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
                          BS, WB)
 
         _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        quad = _step_quad(gbuf, slot, Ft)                # [ROWS, TILE_R]
         occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
-        nbw = G_hbm.shape[0] - WB
+        nbw = _nb_total(G_hbm, BS) - WB
         for k in range(KW):
             s = jnp.clip(start(j * KW + k), 0, nbw)     # same clamp as DMA
             for b in range(WB):
-                kb = k * WB + b
-                quad = _block_quad(gbuf, slot, kb, Ft)   # [4*BS, TILE_R]
-                det = quad[0:BS]
-                u_num = quad[BS:2 * BS]
-                v_num = quad[2 * BS:3 * BS]
-                t_num = quad[3 * BS:4 * BS]
+                base = (k * WB + b) * 4 * BS
+                det = quad[base:base + BS]
+                u_num = quad[base + BS:base + 2 * BS]
+                v_num = quad[base + 2 * BS:base + 3 * BS]
+                t_num = quad[base + 3 * BS:base + 4 * BS]
                 adet = jnp.abs(det)
                 occ = (adet >= eps) & \
                     (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
@@ -325,7 +346,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, KW * wb, F_DIM, 4 * block), jnp.float32),
+                pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, KW)),
             ],
         )
@@ -369,7 +390,7 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, KW * wb, F_DIM, 4 * block), jnp.float32),
+                pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, KW)),
             ],
         )
@@ -391,16 +412,16 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
 # these through the ``impl`` parameter)
 # ---------------------------------------------------------------------------
 
-def cull(prep, origin, direction, tile: int, maxv: int, excl=None):
+def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
     """Plan builder for the sublane kernels.
 
-    Fetch unit = aligned WINDOW of WINDOW_BLOCKS consecutive cull blocks;
-    conservative visibility stays at block granularity and OR-reduces to
-    windows — this is exactly tiled.cull_blocks_lists with
-    page_tris = wb*block_size, so the sublane path shares the paged path's
-    cull cost (no per-tile greedy cover).  Scenes beyond the 16-bit
-    window-id space force range mode."""
-    wb = WINDOW_BLOCKS
+    Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
+    consecutive cull blocks; conservative visibility stays at block
+    granularity and OR-reduces to windows — this is exactly
+    tiled.cull_blocks_lists with page_tris = wb*block_size, so the sublane
+    path shares the paged path's cull cost (no per-tile greedy cover).
+    Scenes beyond the 16-bit window-id space force range mode."""
+    wb = wb or WINDOW_BLOCKS
     bobj = getattr(prep, "block_obj", None) if excl is not None else None
     NB = prep.block_min.shape[0]
     assert NB % wb == 0, (NB, wb)
@@ -430,15 +451,24 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
+def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
+    """Occlusion-query plan: wider windows (WINDOW_BLOCKS_AH) — any-hit has
+    no front-to-back break, so fewer DMA descriptors beat tighter lists."""
+    return cull(prep, origin, direction, tile, maxv, excl,
+                wb=WINDOW_BLOCKS_AH)
+
+
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
            no_max_t: bool):
-    """self_obj2d [n, tile] f32 -> found [n, tile] bool."""
+    """self_obj2d [n, tile] f32 -> found [n, tile] bool.  ``plan`` must come
+    from cull_occl (WINDOW_BLOCKS_AH windows)."""
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
-    # per-block ids padded to the gram_t slab count (pad blocks: -1 never
+    # per-block ids padded to the gram_t block count (pad blocks: -1 never
     # matches a real self id; their triangles are degenerate anyway)
-    npad = prep.gram_t.shape[0] - prep.block_obj.shape[0]
+    npad = (prep.gram_t.shape[1] // (4 * prep.block_size)
+            - prep.block_obj.shape[0])
     bobj = jnp.concatenate(
         [prep.block_obj, jnp.full((npad,), -1, jnp.int32)])
     return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
                           prep.gram_t, bobj, tile, prep.block_size,
-                          WINDOW_BLOCKS, eps, no_max_t)
+                          WINDOW_BLOCKS_AH, eps, no_max_t)
