@@ -71,6 +71,30 @@ SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
 WINDOW_BLOCKS = int(_os.environ.get("SRT_TILED_WB", "2"))
 WINDOW_BLOCKS_AH = int(_os.environ.get("SRT_TILED_WB_AH", "4"))
 
+# --- bf16 prepass -----------------------------------------------------------
+# The HIGHEST-precision contraction is ~6 bf16 MXU passes and dominates the
+# nearest kernel (ablation: ~122 of 130 ms on the bench frame; DEFAULT runs
+# the whole kernel in 49 ms).  The prepass runs the SAME plan once at DEFAULT
+# (1-pass bf16) with SOUND interval arithmetic: every MT numerator x computed
+# by the bf16 MXU satisfies |x_bf - x| <= m * sum_k |G_k||F_k| with
+# m ~ 2^-7.9 (operand f32->bf16 rounding; f32 accumulation).  The kernel
+# bounds sum_k |G_k||F_k| <= sum_k |G_k| * alpha_k (Hölder, alpha = per-tile
+# per-feature max |F|) with ONE [16,ROWS]^T @ [16,1] matvec per super-step,
+# classifies each triangle as confident-valid (tightens a per-ray UPPER bound
+# on the nearest t) or maybe-valid (flags its window when its t LOWER bound
+# could still win), and emits per-plan-position window flags.  The HIGHEST
+# pass then reruns only flagged windows (typically just the winners + ties),
+# reproducing the single-pass HIGHEST result BIT-EXACTLY: the true winner is
+# always flagged (its t_lo <= t_true <= best_hi), each quad element is an
+# independent K=16 dot so its bits don't depend on which windows share the
+# matmul, and tie order is preserved.
+PREPASS_M = float(_os.environ.get("SRT_TILED_PREPASS_M", str(2.0 ** -6)))
+FLAGS_W = 256            # flag-vector lanes (>= PLAN_MAXV, 128-multiple)
+
+
+def _prepass_on() -> bool:
+    return _os.environ.get("SRT_TILED_PREPASS", "1") not in ("0", "")
+
 
 def _kw(block: int, wb: int) -> int:
     """Windows per super-step."""
@@ -238,6 +262,117 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
 
 
+def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
+                      flags_ref, gbuf, sem_g):
+    """bf16 classification pass (see PREPASS_M): walks the SAME plan as the
+    nearest kernel with a DEFAULT-precision contraction and writes a 0/1
+    flag per plan position — 1 iff that window could contain the nearest
+    hit of ANY ray of the tile under sound bf16 error bounds."""
+    i = pl.program_id(0)
+    KW = _kw(BS, WB)
+    cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
+    ns = (cnt + KW - 1) // KW
+    Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
+    TILE_R = Ft.shape[1]
+    # Hölder majorant of the per-(triangle-scalar, ray) product mass:
+    # sum_k |G_kx||F_kr| <= sum_k |G_kx| * alpha_k  for every ray r of the
+    # tile.  alpha is ONE cheap cross-lane max per tile; the sum lands on
+    # SUBLANES via the matvec in the body (so it broadcasts against quad).
+    alpha = jnp.max(jnp.abs(Ft), axis=1, keepdims=True)  # [F_DIM, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAGS_W), 1)
+
+    if not _SYNC_DMA:
+        @pl.when(ns > 0)
+        def _():
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+
+    def cond(state):
+        j, done, best_hi, flags = state
+        return (j < ns) & ~done
+
+    def body(state):
+        j, _, best_hi, flags = state
+        slot = j % 2 if not _SYNC_DMA else 0
+
+        if _SYNC_DMA:
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+        else:
+            @pl.when(j + 1 < ns)
+            def _():
+                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                         BS, WB)
+
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        G = gbuf[slot]
+        quad = jax.lax.dot_general(
+            G, Ft, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)         # [ROWS, TILE_R]
+        err = PREPASS_M * jax.lax.dot_general(
+            jnp.abs(G), alpha, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)         # [ROWS, 1]
+        for k in range(KW):
+            wflag = jnp.zeros((1, TILE_R), jnp.float32)
+            for b in range(WB):
+                base = (k * WB + b) * 4 * BS
+                det = quad[base:base + BS]
+                eD = err[base:base + BS]
+                eU = err[base + BS:base + 2 * BS]
+                eV = err[base + 2 * BS:base + 3 * BS]
+                eT = err[base + 3 * BS:base + 4 * BS]
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                adet = jnp.abs(det)
+                un = quad[base + BS:base + 2 * BS] * sgn
+                vn = quad[base + 2 * BS:base + 3 * BS] * sgn
+                tn = quad[base + 3 * BS:base + 4 * BS] * sgn
+                # confident-valid: every MT test holds for ANY true value in
+                # the error interval -> its t UPPER bound caps the nearest t
+                conf = ((adet - eD >= eps) & (un - eU >= 0.0) &
+                        (vn - eV >= 0.0) &
+                        (un + eU + vn + eV <= adet - eD) & (tn - eT >= 0.0))
+                t_hi = (tn + eT) / jnp.maximum(adet - eD, 1e-30)
+                best_hi = jnp.where(conf & (t_hi < best_hi), t_hi, best_hi)
+                bh_ray = jnp.min(best_hi, axis=0, keepdims=True)
+                # maybe-valid: SOME value in the interval passes every test
+                # (sign-uncertain dets are unconditionally maybe)
+                sc = adet > eD
+                mb = (adet + eD >= eps) & (
+                    ~sc | ((un + eU >= 0.0) & (vn + eV >= 0.0) &
+                           (un - eU + vn - eV <= adet + eD) &
+                           (tn + eT >= 0.0)))
+                t_lo = jnp.where(
+                    sc, jnp.maximum(tn - eT, 0.0) / (adet + eD), 0.0)
+                cand = mb & (t_lo <= bh_ray)
+                wflag = jnp.maximum(wflag, jnp.max(
+                    jnp.where(cand, 1.0, 0.0), axis=0, keepdims=True))
+            fs = jnp.max(wflag)                          # scalar, per window
+            flags = jnp.maximum(flags, jnp.where(lane == j * KW + k, fs, 0.0))
+        if _NO_BREAK:
+            done = jnp.bool_(False)
+        else:
+            # sound front-to-back break: best_hi >= true nearest t, so any
+            # window whose conservative entry bound beats EVERY ray's best_hi
+            # can contain neither the winner nor a tie
+            per_ray = jnp.min(best_hi, axis=0, keepdims=True)
+            worst_bits = jnp.max(jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(per_ray, jnp.int32), 16))
+            done = use_list & (worst_bits < bound16((j + 1) * KW))
+        return j + 1, done, best_hi, flags
+
+    init = (jnp.int32(0), jnp.bool_(False),
+            jnp.full((BS, TILE_R), jnp.inf, jnp.float32),
+            jnp.zeros((1, FLAGS_W), jnp.float32))
+    j_end, _, _, flags = jax.lax.while_loop(cond, body, init)
+
+    if not _SYNC_DMA:
+        @pl.when(j_end < ns)
+        def _():
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+
+    flags_ref[0] = flags
+
+
 def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
                      bobj_ref, Ft_ref, self_ref, G_hbm, hit_ref, gbuf, sem_g):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
@@ -364,6 +499,72 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps"))
+def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
+    """bf16 classification pass -> window flags [n, FLAGS_W] f32 (0/1 per
+    plan position; see _prepass_kernel_t)."""
+    n = Ft.shape[0]
+    KW = _kw(block, wb)
+
+    def call(Fc, planc):
+        nl = Fc.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, FLAGS_W), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KW)),
+            ],
+        )
+        (flags,) = pl.pallas_call(
+            functools.partial(_prepass_kernel_t, block, wb, eps),
+            grid_spec=grid_spec,
+            out_shape=[_out_struct((nl, 1, FLAGS_W), jnp.float32, Fc)],
+            interpret=_interpret(),
+        )(planc, Fc, Gt)
+        return flags
+
+    flags = _chunk_tiles(call, n, Ft, plan)
+    return flags.reshape(n, FLAGS_W)
+
+
+def _refine_plan(plan, flags):
+    """Compact a plan to its prepass-flagged windows (front-to-back order
+    and packed entry bounds preserved).  Range-mode tiles get synthesized
+    list entries (bound 0); ranges too long for the flag vector keep their
+    original plan (the HIGHEST pass walks them in full)."""
+    n = plan.shape[0]
+    lo, rng, lcnt = plan[:, 0], plan[:, 1], plan[:, 2]
+    use_list = plan[:, 3] == 1
+    cnt = jnp.where(use_list, lcnt, rng)
+    pos = jnp.arange(PLAN_MAXV, dtype=jnp.int32)[None]
+    live = (flags[:, :PLAN_MAXV] > 0.0) & (pos < cnt[:, None])
+    ent = jnp.where(use_list[:, None], plan[:, PLAN_AUX:], lo[:, None] + pos)
+    # cumsum-scatter compaction (argsort would be a per-row sort; see
+    # tiled.cull_blocks_lists)
+    slot = jnp.where(live, jnp.cumsum(live, axis=1, dtype=jnp.int32) - 1,
+                     PLAN_MAXV)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                            slot.shape)
+    ent2 = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
+        ent, mode="drop")
+    cnt2 = live.sum(-1).astype(jnp.int32)
+    z = jnp.zeros_like(lo)
+    aux2 = jnp.stack([lo, rng, cnt2, jnp.ones_like(lo), z, z, z, z], axis=-1)
+    plan2 = jnp.concatenate([aux2, ent2], axis=-1)
+    keep = (~use_list) & (cnt > PLAN_MAXV)
+    return jnp.where(keep[:, None], plan, plan2)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
                                              "no_max_t"))
 def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
@@ -443,9 +644,18 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
 
 
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
-    """Nearest hit over flat rays.  Returns (t [R], idx [R])."""
+    """Nearest hit over flat rays.  Returns (t [R], idx [R]).
+
+    With the prepass enabled (SRT_TILED_PREPASS, default on) this is the
+    two-pass exact pipeline: DEFAULT-precision classification walks the
+    full plan, then the HIGHEST-precision kernel reruns only the flagged
+    windows — bit-identical to the single-pass HIGHEST walk."""
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
     plan = cull(prep, origin, direction, tile, maxv)
+    if _prepass_on() and maxv > 0:
+        flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
+                                prep.block_size, WINDOW_BLOCKS, eps)
+        plan = _refine_plan(plan, flags)
     t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
                              prep.block_size, WINDOW_BLOCKS, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
