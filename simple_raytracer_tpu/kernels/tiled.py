@@ -68,11 +68,13 @@ _NO_BREAK = bool(_os.environ.get("SRT_TILED_NO_BREAK"))
 # the page DMAs (dma) or DMA+contraction (matmul) to decompose per-super-step
 # cost on hardware.  WRONG RESULTS — measurement only.
 _ABLATE = _os.environ.get("SRT_TILED_ABLATE", "")
-# MXU precision for the MT contraction (HIGHEST=safest, HIGH=3-pass bf16).
+# MXU precision for the MT contraction (HIGHEST=safest; "tri" = hand-rolled
+# 3-pass bf16, sublane kernel only — Mosaic rejects Precision.HIGH; unknown
+# values fall back to HIGHEST for this ray-major kernel).
 _PRECISION = {"default": jax.lax.Precision.DEFAULT,
-              "high": jax.lax.Precision.HIGH,
-              "highest": jax.lax.Precision.HIGHEST}[
-    _os.environ.get("SRT_MT_PRECISION", "highest").lower()]
+              "highest": jax.lax.Precision.HIGHEST}.get(
+    _os.environ.get("SRT_MT_PRECISION", "highest").lower(),
+    jax.lax.Precision.HIGHEST)
 
 
 def _interpret() -> bool:

@@ -159,14 +159,35 @@ def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
             sem_g.at[slot, k]).wait()
 
 
+# SRT_MT_PRECISION=tri: Mosaic rejects jax.lax.Precision.HIGH inside Pallas,
+# so the 3-pass bf16 middle tier is emulated by hand — split each f32
+# operand x = hi + lo into two bf16 halves (hi = bf16(x), lo = bf16(x - hi),
+# residual <= ~2^-17 |x|) and sum the three cross products on the MXU with
+# f32 accumulation, dropping only lo*lo (~2^-18 of the product mass).
+# Error ~2^-16 * sum|G||F| vs HIGHEST's ~f32 exact, at half the MXU passes.
+_TRI = _os.environ.get("SRT_MT_PRECISION", "").lower() == "tri"
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _step_quad(gbuf, slot, Ft):
     """Contract ALL resident lanes of the step against the tile's ray
     features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
     [ROWS, TILE_R] (triangles on sublanes — transposed-lhs dot_general,
     native on Mosaic)."""
-    return jax.lax.dot_general(
-        gbuf[slot], Ft, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PRECISION)
+    def dot(a, b, prec=None):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    if _TRI:
+        Gh, Gl = _split_bf16(gbuf[slot])
+        Fh, Fl = _split_bf16(Ft)
+        return dot(Gh, Fh) + dot(Gh, Fl) + dot(Gl, Fh)
+    return dot(gbuf[slot], Ft, _PRECISION)
 
 
 def _mt_epilogue_t(quad, base, BS, eps):

@@ -10,8 +10,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices x multi-threaded Eigen ops on a 4-core host spend most
+# of the suite in scheduler spin (measured: the worst test drops 469s ->
+# 182s single-threaded; `time` showed 13 min SYS vs 1.5 min USER).
+if "xla_cpu_multi_thread_eigen" not in flags:
+    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
 # what actually pins tests to the virtual 8-device CPU mesh.
