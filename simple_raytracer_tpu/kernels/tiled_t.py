@@ -52,7 +52,6 @@ PLAN_W = _ray_major.PLAN_W
 PLAN_AUX = _ray_major.PLAN_AUX
 PLAN_MAXV = _ray_major.PLAN_MAXV
 T_BUCKETS = _ray_major.T_BUCKETS
-_PRECISION = _ray_major._PRECISION
 _SYNC_DMA = _ray_major._SYNC_DMA
 _NO_BREAK = _ray_major._NO_BREAK
 _ABLATE = _ray_major._ABLATE
@@ -93,12 +92,19 @@ FLAGS_W = 256            # flag-vector lanes (>= PLAN_MAXV, 128-multiple)
 
 
 def _prepass_on() -> bool:
-    return _os.environ.get("SRT_TILED_PREPASS", "1") not in ("0", "")
+    # Default OFF: the exact two-pass pipeline measured 161 ms vs the tri
+    # tier's 92 on the bench frame (the classification epilogue is
+    # VPU-bound and the refine pass pays full-width super-steps).  It is
+    # the opt-in for bit-exact-vs-oracle rendering at HIGHEST quality.
+    return _os.environ.get("SRT_TILED_PREPASS", "0") not in ("0", "")
 
 
-def _kw(block: int, wb: int) -> int:
-    """Windows per super-step."""
-    return max(SUPER_ROWS // (4 * block * wb), 1)
+def _kw(block: int, wb: int, prec: str = "highest") -> int:
+    """Windows per super-step.  The tri tier halves the step (its hi/lo
+    operand splits and three partial products put the 2048-row step 52KB
+    over the 16MB scoped-VMEM limit)."""
+    rows = SUPER_ROWS // 2 if prec == "tri" else SUPER_ROWS
+    return max(rows // (4 * block * wb), 1)
 
 
 def ray_tile_features_t(o: jnp.ndarray, d: jnp.ndarray, tile: int):
@@ -131,12 +137,11 @@ def _nb_total(G_hbm, BS):
     return G_hbm.shape[1] // (4 * BS)
 
 
-def _win_dma(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
+def _win_dma(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW):
     """Start the KW window fetches of super-step j (each a 128-aligned lane
     slice of WB blocks = ONE strided descriptor).  Unconditional — invalid
     steps clamp to a valid window (conservative culling: extra real
     triangles cannot win; the zero tail pad has det 0)."""
-    KW = _kw(BS, WB)
     RPB = 4 * BS
     nbw = _nb_total(G_hbm, BS) - WB
     for k in range(KW):
@@ -147,8 +152,7 @@ def _win_dma(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
             sem_g.at[slot, k]).start()
 
 
-def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
-    KW = _kw(BS, WB)
+def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW):
     RPB = 4 * BS
     nbw = _nb_total(G_hbm, BS) - WB
     for k in range(KW):
@@ -159,13 +163,27 @@ def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB):
             sem_g.at[slot, k]).wait()
 
 
-# SRT_MT_PRECISION=tri: Mosaic rejects jax.lax.Precision.HIGH inside Pallas,
-# so the 3-pass bf16 middle tier is emulated by hand — split each f32
-# operand x = hi + lo into two bf16 halves (hi = bf16(x), lo = bf16(x - hi),
-# residual <= ~2^-17 |x|) and sum the three cross products on the MXU with
-# f32 accumulation, dropping only lo*lo (~2^-18 of the product mass).
-# Error ~2^-16 * sum|G||F| vs HIGHEST's ~f32 exact, at half the MXU passes.
-_TRI = _os.environ.get("SRT_MT_PRECISION", "").lower() == "tri"
+# Sublane-kernel matmul tier (SRT_MT_PRECISION): "tri" (the default) is a
+# hand-rolled 3-pass bf16 contraction — Mosaic rejects
+# jax.lax.Precision.HIGH inside Pallas, so each f32 operand is split
+# x = hi + lo into two bf16 halves (hi = bf16(x), lo = bf16(x - hi),
+# residual <= ~2^-17 |x|) and the three cross products are summed on the
+# MXU with f32 accumulation, dropping only lo*lo (~2^-18 of the product
+# mass).  Error ~2^-16 * sum|G||F| vs HIGHEST's ~f32-exact at HALF the MXU
+# passes: measured on the bench frame 91.6 vs 133.5 ms/hits with t-match
+# 0.99991 / idx-match 0.99978 against HIGHEST (flips are silhouette ties).
+# Bit-exact-vs-oracle remains available: SRT_MT_PRECISION=highest, or the
+# prepass pipeline (SRT_TILED_PREPASS=1) whose refine pass always runs
+# HIGHEST.  (Plain DEFAULT is unusable here: the Gram product mass dwarfs
+# det, and 2^-8 mass-relative error measured t-match 0.75 / idx 0.92.)
+# In interpret mode (CPU tests) "tri" maps to HIGHEST: the CPU f32 matmul
+# is exact, so hi/lo splitting would only ADD error and break the
+# bit-equality tests vs the paged kernel.
+_MODE = _os.environ.get("SRT_MT_PRECISION", "tri").lower()
+
+
+def _mode() -> str:
+    return "highest" if (_MODE == "tri" and _interpret()) else _MODE
 
 
 def _split_bf16(x):
@@ -174,20 +192,22 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _step_quad(gbuf, slot, Ft):
+def _step_quad(gbuf, slot, Ft, prec: str):
     """Contract ALL resident lanes of the step against the tile's ray
     features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
     [ROWS, TILE_R] (triangles on sublanes — transposed-lhs dot_general,
     native on Mosaic)."""
-    def dot(a, b, prec=None):
+    def dot(a, b, p=None):
         return jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-    if _TRI:
+            preferred_element_type=jnp.float32, precision=p)
+    if prec == "tri":
         Gh, Gl = _split_bf16(gbuf[slot])
         Fh, Fl = _split_bf16(Ft)
         return dot(Gh, Fh) + dot(Gh, Fl) + dot(Gl, Fh)
-    return dot(gbuf[slot], Ft, _PRECISION)
+    return dot(gbuf[slot], Ft,
+               {"default": jax.lax.Precision.DEFAULT}.get(
+                   prec, jax.lax.Precision.HIGHEST))
 
 
 def _mt_epilogue_t(quad, base, BS, eps):
@@ -203,10 +223,10 @@ def _mt_epilogue_t(quad, base, BS, eps):
     return jnp.where(valid, t, jnp.inf)
 
 
-def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
-                      t_ref, idx_ref, gbuf, sem_g):
+def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
+                      Ft_ref, G_hbm, t_ref, idx_ref, gbuf, sem_g):
     i = pl.program_id(0)
-    KW = _kw(BS, WB)
+    KW = _kw(BS, WB, prec)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
@@ -215,7 +235,7 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     if not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, done, best_t, best_i = state
@@ -226,18 +246,18 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
         else:
             @pl.when(j + 1 < ns)
             def _():
                 _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB)
+                         BS, WB, KW)
 
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
         if _ABLATE == "dma":            # measurement only: skip all compute
             best_t = jnp.minimum(best_t, gbuf[slot][:1, :TILE_R] + 1e30)
             return j + 1, jnp.bool_(False), best_t, best_i
-        quad = _step_quad(gbuf, slot, Ft)                # [ROWS, TILE_R]
+        quad = _step_quad(gbuf, slot, Ft, prec)          # [ROWS, TILE_R]
         if _ABLATE == "matmul":         # measurement only: skip epilogue
             best_t = jnp.minimum(best_t, quad[:BS] + 1e30)
             return j + 1, jnp.bool_(False), best_t, best_i
@@ -274,7 +294,7 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     if not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     bt = jnp.min(tv, axis=0, keepdims=True)              # [1, TILE_R]
     bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
@@ -305,7 +325,7 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     if not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, done, best_hi, flags = state
@@ -316,14 +336,14 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
         else:
             @pl.when(j + 1 < ns)
             def _():
                 _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB)
+                         BS, WB, KW)
 
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
         G = gbuf[slot]
         quad = jax.lax.dot_general(
             G, Ft, (((0,), (0,)), ((), ())),
@@ -333,6 +353,10 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
             jnp.abs(G), alpha, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)         # [ROWS, 1]
+        # flag candidates against the per-STEP bound (stale by one step —
+        # larger, so conservative) to keep the VPU epilogue lean: one
+        # cross-sublane reduce per step instead of per block
+        bh_ray = jnp.min(best_hi, axis=0, keepdims=True)  # [1, TILE_R]
         for k in range(KW):
             wflag = jnp.zeros((1, TILE_R), jnp.float32)
             for b in range(WB):
@@ -343,28 +367,35 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
                 eV = err[base + 2 * BS:base + 3 * BS]
                 eT = err[base + 3 * BS:base + 4 * BS]
                 sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-                adet = jnp.abs(det)
+                adet = det * sgn
                 un = quad[base + BS:base + 2 * BS] * sgn
                 vn = quad[base + 2 * BS:base + 3 * BS] * sgn
                 tn = quad[base + 3 * BS:base + 4 * BS] * sgn
+                uL, uH = un - eU, un + eU
+                vL, vH = vn - eV, vn + eV
+                tL, tH = tn - eT, tn + eT
+                aL, aH = adet - eD, adet + eD
                 # confident-valid: every MT test holds for ANY true value in
                 # the error interval -> its t UPPER bound caps the nearest t
-                conf = ((adet - eD >= eps) & (un - eU >= 0.0) &
-                        (vn - eV >= 0.0) &
-                        (un + eU + vn + eV <= adet - eD) & (tn - eT >= 0.0))
-                t_hi = (tn + eT) / jnp.maximum(adet - eD, 1e-30)
+                conf_m = jnp.minimum(
+                    jnp.minimum(uL, vL),
+                    jnp.minimum(aL - (uH + vH),
+                                jnp.minimum(tL, aL - eps)))
+                conf = conf_m >= 0.0
+                t_hi = tH / jnp.maximum(aL, 1e-30)
                 best_hi = jnp.where(conf & (t_hi < best_hi), t_hi, best_hi)
-                bh_ray = jnp.min(best_hi, axis=0, keepdims=True)
                 # maybe-valid: SOME value in the interval passes every test
-                # (sign-uncertain dets are unconditionally maybe)
+                # (sign-uncertain dets are unconditionally maybe); candidate
+                # iff its t LOWER bound beats the step bound (mult form —
+                # no second division)
+                mb_m = jnp.minimum(
+                    jnp.minimum(uH, vH),
+                    jnp.minimum(aH - (uL + vL),
+                                jnp.minimum(tH, aH - eps)))
                 sc = adet > eD
-                mb = (adet + eD >= eps) & (
-                    ~sc | ((un + eU >= 0.0) & (vn + eV >= 0.0) &
-                           (un - eU + vn - eV <= adet + eD) &
-                           (tn + eT >= 0.0)))
-                t_lo = jnp.where(
-                    sc, jnp.maximum(tn - eT, 0.0) / (adet + eD), 0.0)
-                cand = mb & (t_lo <= bh_ray)
+                cand = ((mb_m >= 0.0) &
+                        (jnp.maximum(tL, 0.0) <= bh_ray * aH)) | \
+                    (~sc & (aH >= eps))
                 wflag = jnp.maximum(wflag, jnp.max(
                     jnp.where(cand, 1.0, 0.0), axis=0, keepdims=True))
             fs = jnp.max(wflag)                          # scalar, per window
@@ -389,20 +420,21 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     if not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     flags_ref[0] = flags
 
 
-def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
-                     bobj_ref, Ft_ref, self_ref, G_hbm, hit_ref, gbuf, sem_g):
+def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
+                     plan_ref, bobj_ref, Ft_ref, self_ref, G_hbm, hit_ref,
+                     gbuf, sem_g):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
     no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
     free MT predicate on the numerators; the self-object test is ONE
     scalar compare per block (``bobj_ref`` SMEM, blocks are single-object
     by construction — accel/prepared.py per-object page padding)."""
     i = pl.program_id(0)
-    KW = _kw(BS, WB)
+    KW = _kw(BS, WB, prec)
     cnt, start, use_list, _b16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]
@@ -412,7 +444,7 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
     if not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, found, done = state
@@ -423,15 +455,15 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
         slot = j % 2 if not _SYNC_DMA else 0
 
         if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB)
+            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
         else:
             @pl.when(j + 1 < ns)
             def _():
                 _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB)
+                         BS, WB, KW)
 
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB)
-        quad = _step_quad(gbuf, slot, Ft)                # [ROWS, TILE_R]
+        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
+        quad = _step_quad(gbuf, slot, Ft, prec)          # [ROWS, TILE_R]
         occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
         nbw = _nb_total(G_hbm, BS) - WB
         for k in range(KW):
@@ -465,7 +497,7 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, plan_ref,
     if not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB)
+            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
@@ -478,12 +510,16 @@ _out_struct = _ray_major._out_struct
 _chunk_tiles = _ray_major._chunk_tiles
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps"))
-def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
-    """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [(NB+pad),16,4*block]
-    -> (t [n,tile], idx [n,tile])."""
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
+                                             "prec"))
+def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
+                    prec: str = None):
+    """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
+    -> (t [n,tile], idx [n,tile]).  ``prec``: tri|highest|default (None ->
+    the SRT_MT_PRECISION default)."""
+    prec = prec or _mode()
     n = Ft.shape[0]
-    KW = _kw(block, wb)
+    KW = _kw(block, wb, prec)
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -507,7 +543,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
             ],
         )
         return pl.pallas_call(
-            functools.partial(_nearest_kernel_t, block, wb, eps),
+            functools.partial(_nearest_kernel_t, block, wb, eps, prec),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((nl, 1, tile), jnp.float32, Fc),
@@ -587,13 +623,15 @@ def _refine_plan(plan, flags):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "no_max_t"))
+                                             "no_max_t", "prec"))
 def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
-                   wb: int, eps: float, no_max_t: bool = True):
+                   wb: int, eps: float, no_max_t: bool = True,
+                   prec: str = None):
     """Occlusion query.  self_obj [n, 1, tile] f32, bobj [NB+pad] i32
     per-block object ids.  -> found [n, tile]."""
+    prec = prec or _mode()
     n = Ft.shape[0]
-    KW = _kw(block, wb)
+    KW = _kw(block, wb, prec)
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
@@ -617,7 +655,8 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
             ],
         )
         (found,) = pl.pallas_call(
-            functools.partial(_anyhit_kernel_t, block, wb, eps, no_max_t),
+            functools.partial(_anyhit_kernel_t, block, wb, eps, no_max_t,
+                              prec),
             grid_spec=grid_spec,
             out_shape=[_out_struct((nl, 1, tile), jnp.int32, Fc)],
             interpret=_interpret(),
@@ -667,18 +706,23 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     """Nearest hit over flat rays.  Returns (t [R], idx [R]).
 
-    With the prepass enabled (SRT_TILED_PREPASS, default on) this is the
-    two-pass exact pipeline: DEFAULT-precision classification walks the
-    full plan, then the HIGHEST-precision kernel reruns only the flagged
-    windows — bit-identical to the single-pass HIGHEST walk."""
+    Default: single walk at the "tri" 3-pass-bf16 tier (see _MODE).  With
+    the prepass enabled (SRT_TILED_PREPASS=1) this is instead the two-pass
+    ORACLE-EXACT pipeline: DEFAULT-precision classification walks the full
+    plan, then a HIGHEST-precision kernel reruns only the flagged windows —
+    bit-identical to the single-pass HIGHEST walk."""
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
     plan = cull(prep, origin, direction, tile, maxv)
     if _prepass_on() and maxv > 0:
         flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
                                 prep.block_size, WINDOW_BLOCKS, eps)
         plan = _refine_plan(plan, flags)
-    t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
-                             prep.block_size, WINDOW_BLOCKS, eps)
+        t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
+                                 prep.block_size, WINDOW_BLOCKS, eps,
+                                 prec="highest")
+    else:
+        t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
+                                 prep.block_size, WINDOW_BLOCKS, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
