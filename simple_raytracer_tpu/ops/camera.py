@@ -32,6 +32,59 @@ def primary_rays(width: int, height: int, focal: float = 400.0,
     return o, d
 
 
+def primary_rays_tiled(width: int, height: int, tile_px: int,
+                       focal: float = 400.0, normalize: bool = False,
+                       dtype=jnp.float32, view_matrix=None):
+    """Primary rays directly in 2D-TILE-MAJOR order (pure iota arithmetic).
+
+    The tiled renderer needs rays grouped by square pixel tiles.  Gathering
+    row-major rays through a permutation costs ~3 full-array gathers per
+    frame (o, d in; radiance out — measured ~26 ms of the 1080p frame);
+    generating them tile-major is free, and the OUTPUT permutation becomes
+    a reshape/transpose (sequential relayout, no gather) in the caller.
+
+    Ragged sizes are padded UP to tile multiples with real out-of-frame
+    rays (pixel coords beyond width/height; the caller slices the padded
+    image back to [H, W]).  Pixel->direction mapping is identical to
+    :func:`primary_rays` (direction (i - W//2, j - H//2, focal)).
+
+    Returns (o [Rp, 3], d [Rp, 3], tx, ty) with Rp = tx*ty*tile_px^2 and
+    flat index = ((tyi*tx + txi)*tile_px + y_in_tile)*tile_px + x_in_tile.
+    """
+    tx = -(-width // tile_px)
+    ty = -(-height // tile_px)
+    n = tx * ty * tile_px * tile_px
+    idx = jnp.arange(n, dtype=jnp.int32)
+    tp2 = tile_px * tile_px
+    tile_id = idx // tp2
+    r = idx % tp2
+    py = (tile_id // tx) * tile_px + r // tile_px
+    px = (tile_id % tx) * tile_px + r % tile_px
+    i = px.astype(dtype) - (width // 2)
+    j = py.astype(dtype) - (height // 2)
+    d = jnp.stack([i, j, jnp.full_like(i, focal)], axis=-1)
+    if view_matrix is not None:
+        V = jnp.asarray(view_matrix, dtype=dtype)
+        d = d @ V[:3, :3].T
+        o = jnp.broadcast_to(V[:3, 3], d.shape)
+    else:
+        o = jnp.zeros_like(d)
+    if normalize:
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d, tx, ty
+
+
+def untile_image(flat: jnp.ndarray, width: int, height: int, tile_px: int,
+                 tx: int, ty: int) -> jnp.ndarray:
+    """Tile-major flat results [Rp, ...] -> row-major [H, W, ...] (inverse
+    of primary_rays_tiled's ordering; reshape/transpose, no gather)."""
+    trail = flat.shape[1:]
+    img = flat.reshape((ty, tx, tile_px, tile_px) + trail)
+    img = jnp.moveaxis(img, 2, 1)            # [ty, tile_px, tx, tile_px, ...]
+    img = img.reshape((ty * tile_px, tx * tile_px) + trail)
+    return img[:height, :width]
+
+
 def primary_rays_world(width: int, height: int, view_matrix: jnp.ndarray,
                        focal: float = 400.0, normalize: bool = False,
                        dtype=jnp.float32):

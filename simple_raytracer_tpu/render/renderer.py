@@ -157,7 +157,14 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
     The differentiable output: no quantization, no background fill.
     """
     cam = cfg.camera
-    if view_matrix is None:
+    if cfg.mode == "tiled":
+        # rays generated directly in 2D-tile-major order: iota math instead
+        # of three full-array permutation gathers (o, d in; results out)
+        from ..ops.camera import primary_rays_tiled
+        o, d, _tx, _ty = primary_rays_tiled(
+            cam.width, cam.height, cfg.tile_px, cam.focal,
+            cam.normalize_dirs, view_matrix=view_matrix)
+    elif view_matrix is None:
         o, d = primary_rays(cam.width, cam.height, cam.focal,
                             cam.normalize_dirs)
     else:
@@ -188,16 +195,19 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
                 scene, cfg, oo, dd, light_pos)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
+    H, W = cam.height, cam.width
     if cfg.mode == "tiled":
         # 2D pixel tiles: square tiles give far tighter per-tile ray bounds
         # than row slivers, multiplying the kernel's block-cull rate.  The
-        # kernel manages its own memory (block DMA), so no ray chunking.
-        from ..kernels.tiled import tile_permutation
-        perm, inv = tile_permutation(cam.width, cam.height, cfg.tile_px)
-        radiance_t, hit_t = body(o[perm], d[perm])
-        radiance, hit = radiance_t[inv], hit_t[inv]
-    else:
-        radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
+        # kernel manages its own memory (block DMA), so no ray chunking;
+        # rays are already tile-major (above) and the inverse permutation
+        # is a reshape/transpose.
+        from ..ops.camera import untile_image
+        radiance_t, hit_t = body(o, d)
+        radiance = untile_image(radiance_t.reshape(-1, 3), W, H,
+                                cfg.tile_px, _tx, _ty)
+        hit = untile_image(hit_t.reshape(-1), W, H, cfg.tile_px, _tx, _ty)
+        return radiance, hit
 
-    H, W = cam.height, cam.width
+    radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
     return radiance.reshape(H, W, 3), hit.reshape(H, W)
