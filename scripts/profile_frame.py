@@ -108,6 +108,26 @@ if "occl" in stages:
         return s.astype(jnp.float32).sum()
     timeit("occl", occl_only, point, objv, hitm)
 
+if "occl2" in stages:
+    # occlusion pass including the per-frame prep the REAL pipeline pays
+    # (isfinite mask, point arithmetic, tri_obj gather) — vs "occl" which
+    # precomputes them outside the timed loop
+    t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
+        prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
+    t0_ = t0_.block_until_ready()
+    shadow_fn2 = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
+                                       cfg.light.shadow_no_max_t, 1,
+                                       impl=IMPL)
+
+    def occl2_only(t, idx, i):
+        hitm = jnp.isfinite(t)
+        point = jnp.where(hitm[:, None], operm + t[:, None] * dperm, 0.0)
+        objv = prep.scene.tri_obj[jnp.maximum(idx, 0)]
+        lps = jnp.broadcast_to(light + i * 1e-4, point.shape)
+        s = shadow_fn2(point, lps, objv, hit=hitm)
+        return s.astype(jnp.float32).sum()
+    timeit("occl2", occl2_only, t0_, idx0_)
+
 if "noshadow" in stages:
     cfg_ns = cfg.replace(light=LightConfig(enable_shadows=False))
     def render_ns(prep, i):

@@ -223,8 +223,11 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     bound16 = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(floor_t, jnp.int32), 16)
 
-    # bucket-ordered compaction by scatter (argsort would be a per-row sort —
-    # hundreds of ms on TPU at 8k tiles x 500 pages)
+    # bucket-ordered compaction via top_k + small gather.  A scatter here
+    # measured 13.5 ms/frame on the 1080p bench (TPU scatters serialize);
+    # top_k of the negated slot rank is ~sorting 248 of ~1k lanes and the
+    # take_along_axis gather is [n, 248].  (A full argsort would be a
+    # per-row sort — hundreds of ms at 8k tiles x 500 pages.)
     bucket_cnt = jnp.stack(
         [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
     base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
@@ -233,11 +236,13 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         mb = visible & (qb == b)
         pos = jnp.cumsum(mb, axis=-1) - 1
         slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
-    slot = jnp.where(slot < PLAN_MAXV, slot, PLAN_MAXV)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], slot.shape)
     packed = jnp.broadcast_to(idx[None, :], slot.shape) | (bound16 << 16)
-    entries = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
-        packed, mode="drop")
+    k = min(PLAN_MAXV, NP_)
+    _, picked = jax.lax.top_k(-slot, k)        # ascending slot order
+    entries = jnp.take_along_axis(packed, picked, axis=1)
+    if k < PLAN_MAXV:
+        entries = jnp.concatenate(
+            [entries, jnp.zeros((n, PLAN_MAXV - k), jnp.int32)], axis=-1)
     z = jnp.zeros_like(lo)
     aux = jnp.stack(
         [lo, range_cnt, jnp.minimum(page_cnt, maxv), use_list,
