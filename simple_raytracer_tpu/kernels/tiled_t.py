@@ -192,9 +192,9 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _step_quad(gbuf, slot, Ft, prec: str):
-    """Contract ALL resident lanes of the step against the tile's ray
-    features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
+def _step_quad(Gs, Ft, prec: str):
+    """Contract a step's fetched lanes Gs [F_DIM, ROWS] against the tile's
+    ray features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
     [ROWS, TILE_R] (triangles on sublanes — transposed-lhs dot_general,
     native on Mosaic)."""
     def dot(a, b, p=None):
@@ -202,12 +202,46 @@ def _step_quad(gbuf, slot, Ft, prec: str):
             a, b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=p)
     if prec == "tri":
-        Gh, Gl = _split_bf16(gbuf[slot])
+        Gh, Gl = _split_bf16(Gs)
         Fh, Fl = _split_bf16(Ft)
         return dot(Gh, Fh) + dot(Gh, Fl) + dot(Gl, Fh)
-    return dot(gbuf[slot], Ft,
+    return dot(Gs, Ft,
                {"default": jax.lax.Precision.DEFAULT}.get(
                    prec, jax.lax.Precision.HIGHEST))
+
+
+# --- VMEM-resident geometry ------------------------------------------------
+# The window DMA is DESCRIPTOR-ISSUE bound, not bandwidth bound: the bench
+# frame issues ~53k descriptors (~26 windows x 2025 tiles) costing ~24 ms
+# against ~2 ms of actual HBM traffic.  When the whole gram_t fits VMEM
+# (bunny: 17.9 MB f32; Mosaic accepts >16 MB via
+# CompilerParams.vmem_limit_bytes — measured working at 100 MB), the kernel
+# takes it as a plain VMEM operand and "fetches" windows with register
+# copies off dynamic 128-aligned lane slices: no descriptors, no
+# semaphores, no double buffering.  Larger scenes fall back to the DMA
+# path automatically.
+RES_LIMIT_MB = int(_os.environ.get("SRT_TILED_RESIDENT_MB", "64"))
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _resident(Gt) -> bool:
+    if _os.environ.get("SRT_TILED_RESIDENT", "") == "0":
+        return False
+    return Gt.size * Gt.dtype.itemsize <= RES_LIMIT_MB * 2 ** 20
+
+
+def _res_gather(G_res, start, j, BS, WB, KW):
+    """One super-step's lanes from the RESIDENT gram ref: KW dynamic
+    128-aligned lane slices concatenated in registers -> [F_DIM, ROWS].
+    (The index is written s * RPB with RPB a 128-multiple so Mosaic can
+    statically prove lane alignment.)"""
+    RPB = 4 * BS
+    nbw = _nb_total(G_res, BS) - WB
+    parts = []
+    for k in range(KW):
+        s = jnp.clip(start(j * KW + k), 0, nbw)
+        parts.append(G_res[:, pl.ds(s * RPB, WB * RPB)])
+    return parts[0] if KW == 1 else jnp.concatenate(parts, axis=1)
 
 
 def _mt_epilogue_t(quad, base, BS, eps):
@@ -223,19 +257,21 @@ def _mt_epilogue_t(quad, base, BS, eps):
     return jnp.where(valid, t, jnp.inf)
 
 
-def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
-                      Ft_ref, G_hbm, t_ref, idx_ref, gbuf, sem_g):
+def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
+                      resident: bool, plan_ref, Ft_ref, G, t_ref, idx_ref,
+                      *scratch):
     i = pl.program_id(0)
     KW = _kw(BS, WB, prec)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
     TILE_R = Ft.shape[1]
+    gbuf, sem_g = scratch if scratch else (None, None)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
+            _win_dma(G, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, done, best_t, best_i = state
@@ -243,21 +279,23 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
 
     def body(state):
         j, _, best_t, best_i = state
-        slot = j % 2 if not _SYNC_DMA else 0
-
-        if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
+        if resident:
+            Gs = _res_gather(G, start, j, BS, WB, KW)
         else:
-            @pl.when(j + 1 < ns)
-            def _():
-                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB, KW)
-
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            slot = j % 2 if not _SYNC_DMA else 0
+            if _SYNC_DMA:
+                _win_dma(G, gbuf, sem_g, start, 0, j, BS, WB, KW)
+            else:
+                @pl.when(j + 1 < ns)
+                def _():
+                    _win_dma(G, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                             BS, WB, KW)
+            _win_wait(G, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            Gs = gbuf[slot]
         if _ABLATE == "dma":            # measurement only: skip all compute
-            best_t = jnp.minimum(best_t, gbuf[slot][:1, :TILE_R] + 1e30)
+            best_t = jnp.minimum(best_t, Gs[:1, :TILE_R] + 1e30)
             return j + 1, jnp.bool_(False), best_t, best_i
-        quad = _step_quad(gbuf, slot, Ft, prec)          # [ROWS, TILE_R]
+        quad = _step_quad(Gs, Ft, prec)                  # [ROWS, TILE_R]
         if _ABLATE == "matmul":         # measurement only: skip epilogue
             best_t = jnp.minimum(best_t, quad[:BS] + 1e30)
             return j + 1, jnp.bool_(False), best_t, best_i
@@ -265,7 +303,7 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
         # argmin lane/sublane reductions deferred to after the loop.
         # Clamped duplicate windows fold idempotently.
         row = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_R), 0)
-        nbw = _nb_total(G_hbm, BS) - WB
+        nbw = _nb_total(G, BS) - WB
         for k in range(KW):
             s = jnp.clip(start(j * KW + k), 0, nbw)
             for b in range(WB):
@@ -291,10 +329,10 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
             jnp.full((BS, TILE_R), -1, jnp.int32))
     j_end, _, tv, iv = jax.lax.while_loop(cond, body, init)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
+            _win_wait(G, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     bt = jnp.min(tv, axis=0, keepdims=True)              # [1, TILE_R]
     bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
@@ -303,8 +341,8 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str, plan_ref,
     idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
 
 
-def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
-                      flags_ref, gbuf, sem_g):
+def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
+                      plan_ref, Ft_ref, G_in, flags_ref, *scratch):
     """bf16 classification pass (see PREPASS_M): walks the SAME plan as the
     nearest kernel with a DEFAULT-precision contraction and writes a 0/1
     flag per plan position — 1 iff that window could contain the nearest
@@ -321,11 +359,12 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
     # SUBLANES via the matvec in the body (so it broadcasts against quad).
     alpha = jnp.max(jnp.abs(Ft), axis=1, keepdims=True)  # [F_DIM, 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAGS_W), 1)
+    gbuf, sem_g = scratch if scratch else (None, None)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
+            _win_dma(G_in, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, done, best_hi, flags = state
@@ -333,18 +372,19 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
 
     def body(state):
         j, _, best_hi, flags = state
-        slot = j % 2 if not _SYNC_DMA else 0
-
-        if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
+        if resident:
+            G = _res_gather(G_in, start, j, BS, WB, KW)
         else:
-            @pl.when(j + 1 < ns)
-            def _():
-                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB, KW)
-
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
-        G = gbuf[slot]
+            slot = j % 2 if not _SYNC_DMA else 0
+            if _SYNC_DMA:
+                _win_dma(G_in, gbuf, sem_g, start, 0, j, BS, WB, KW)
+            else:
+                @pl.when(j + 1 < ns)
+                def _():
+                    _win_dma(G_in, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                             BS, WB, KW)
+            _win_wait(G_in, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            G = gbuf[slot]
         quad = jax.lax.dot_general(
             G, Ft, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -417,17 +457,17 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, plan_ref, Ft_ref, G_hbm,
             jnp.zeros((1, FLAGS_W), jnp.float32))
     j_end, _, _, flags = jax.lax.while_loop(cond, body, init)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
+            _win_wait(G_in, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     flags_ref[0] = flags
 
 
 def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
-                     plan_ref, bobj_ref, Ft_ref, self_ref, G_hbm, hit_ref,
-                     gbuf, sem_g):
+                     resident: bool, plan_ref, bobj_ref, Ft_ref, self_ref,
+                     G_in, hit_ref, *scratch):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
     no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
     free MT predicate on the numerators; the self-object test is ONE
@@ -440,11 +480,12 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
     Ft = Ft_ref[0]
     TILE_R = Ft.shape[1]
     self_obj = self_ref[0]                               # [1, TILE_R] f32
+    gbuf, sem_g = scratch if scratch else (None, None)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(ns > 0)
         def _():
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, 0, BS, WB, KW)
+            _win_dma(G_in, gbuf, sem_g, start, 0, 0, BS, WB, KW)
 
     def cond(state):
         j, found, done = state
@@ -452,20 +493,22 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
 
     def body(state):
         j, found, _ = state
-        slot = j % 2 if not _SYNC_DMA else 0
-
-        if _SYNC_DMA:
-            _win_dma(G_hbm, gbuf, sem_g, start, 0, j, BS, WB, KW)
+        if resident:
+            Gs = _res_gather(G_in, start, j, BS, WB, KW)
         else:
-            @pl.when(j + 1 < ns)
-            def _():
-                _win_dma(G_hbm, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                         BS, WB, KW)
-
-        _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW)
-        quad = _step_quad(gbuf, slot, Ft, prec)          # [ROWS, TILE_R]
+            slot = j % 2 if not _SYNC_DMA else 0
+            if _SYNC_DMA:
+                _win_dma(G_in, gbuf, sem_g, start, 0, j, BS, WB, KW)
+            else:
+                @pl.when(j + 1 < ns)
+                def _():
+                    _win_dma(G_in, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                             BS, WB, KW)
+            _win_wait(G_in, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            Gs = gbuf[slot]
+        quad = _step_quad(Gs, Ft, prec)                  # [ROWS, TILE_R]
         occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
-        nbw = _nb_total(G_hbm, BS) - WB
+        nbw = _nb_total(G_in, BS) - WB
         for k in range(KW):
             s = jnp.clip(start(j * KW + k), 0, nbw)     # same clamp as DMA
             for b in range(WB):
@@ -494,10 +537,10 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
             jnp.bool_(False))
     j_end, found, _ = jax.lax.while_loop(cond, body, init)
 
-    if not _SYNC_DMA:
+    if not resident and not _SYNC_DMA:
         @pl.when(j_end < ns)
         def _():
-            _win_wait(G_hbm, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
+            _win_wait(G_in, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
     hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
@@ -511,15 +554,18 @@ _chunk_tiles = _ray_major._chunk_tiles
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "prec"))
+                                             "prec", "res"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
-                    prec: str = None):
+                    prec: str = None, res: bool = None):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
     -> (t [n,tile], idx [n,tile]).  ``prec``: tri|highest|default (None ->
-    the SRT_MT_PRECISION default)."""
+    the SRT_MT_PRECISION default).  ``res``: VMEM-resident geometry (None
+    -> auto by size; pass explicitly from already-jitted callers — the env
+    var is not part of this function's jit cache key)."""
     prec = prec or _mode()
     n = Ft.shape[0]
     KW = _kw(block, wb, prec)
+    res = _resident(Gt) if res is None else res
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -529,7 +575,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
             in_specs=[
                 pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+                pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
@@ -537,18 +583,20 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
+            scratch_shapes=[] if res else [
                 pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, KW)),
             ],
         )
         return pl.pallas_call(
-            functools.partial(_nearest_kernel_t, block, wb, eps, prec),
+            functools.partial(_nearest_kernel_t, block, wb, eps, prec, res),
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((nl, 1, tile), jnp.float32, Fc),
                 _out_struct((nl, 1, tile), jnp.int32, Fc),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT) if res else None,
             interpret=_interpret(),
         )(planc, Fc, Gt)
 
@@ -556,12 +604,15 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps"))
-def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
+                                             "res"))
+def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
+                    res: bool = None):
     """bf16 classification pass -> window flags [n, FLAGS_W] f32 (0/1 per
     plan position; see _prepass_kernel_t)."""
     n = Ft.shape[0]
     KW = _kw(block, wb)
+    res = _resident(Gt) if res is None else res
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -571,21 +622,23 @@ def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float):
             in_specs=[
                 pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+                pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, FLAGS_W), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
+            scratch_shapes=[] if res else [
                 pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, KW)),
             ],
         )
         (flags,) = pl.pallas_call(
-            functools.partial(_prepass_kernel_t, block, wb, eps),
+            functools.partial(_prepass_kernel_t, block, wb, eps, res),
             grid_spec=grid_spec,
             out_shape=[_out_struct((nl, 1, FLAGS_W), jnp.float32, Fc)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT) if res else None,
             interpret=_interpret(),
         )(planc, Fc, Gt)
         return flags
@@ -623,15 +676,16 @@ def _refine_plan(plan, flags):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "no_max_t", "prec"))
+                                             "no_max_t", "prec", "res"))
 def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                    wb: int, eps: float, no_max_t: bool = True,
-                   prec: str = None):
+                   prec: str = None, res: bool = None):
     """Occlusion query.  self_obj [n, 1, tile] f32, bobj [NB+pad] i32
     per-block object ids.  -> found [n, tile]."""
     prec = prec or _mode()
     n = Ft.shape[0]
     KW = _kw(block, wb, prec)
+    res = _resident(Gt) if res is None else res
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
@@ -643,22 +697,24 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.HBM),   # Gt
+                pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
+            scratch_shapes=[] if res else [
                 pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, KW)),
             ],
         )
         (found,) = pl.pallas_call(
             functools.partial(_anyhit_kernel_t, block, wb, eps, no_max_t,
-                              prec),
+                              prec, res),
             grid_spec=grid_spec,
             out_shape=[_out_struct((nl, 1, tile), jnp.int32, Fc)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT) if res else None,
             interpret=_interpret(),
         )(planc, bobj, Fc, selfc, Gt)
         return found
@@ -713,16 +769,19 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     bit-identical to the single-pass HIGHEST walk."""
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
     plan = cull(prep, origin, direction, tile, maxv)
+    res = _resident(prep.gram_t)
     if _prepass_on() and maxv > 0:
         flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
-                                prep.block_size, WINDOW_BLOCKS, eps)
+                                prep.block_size, WINDOW_BLOCKS, eps,
+                                res=res)
         plan = _refine_plan(plan, flags)
         t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
-                                 prec="highest")
+                                 prec="highest", res=res)
     else:
         t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
-                                 prep.block_size, WINDOW_BLOCKS, eps)
+                                 prep.block_size, WINDOW_BLOCKS, eps,
+                                 res=res)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
@@ -746,4 +805,5 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
         [prep.block_obj, jnp.full((npad,), -1, jnp.int32)])
     return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
                           prep.gram_t, bobj, tile, prep.block_size,
-                          WINDOW_BLOCKS_AH, eps, no_max_t)
+                          WINDOW_BLOCKS_AH, eps, no_max_t,
+                          res=_resident(prep.gram_t))

@@ -68,6 +68,22 @@ def test_hits_match_paged_kernel_exactly():
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_s))
 
 
+def test_dma_path_matches_resident(monkeypatch):
+    """Small scenes default to the VMEM-RESIDENT kernels; the DMA streaming
+    path (big scenes) must produce bit-identical results."""
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    o, d = primary_rays(64, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t_r, i_r = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12))(prep, o, d)
+    monkeypatch.setenv("SRT_TILED_RESIDENT", "0")
+    t_d, i_d = jax.jit(
+        lambda p, o, d: tiled_t.hits(p, o, d, 256, 1e-12))(prep, o, d)
+    np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_d))
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_d))
+
+
 def test_range_fallback_matches_lists():
     scene = _scene()
     prep = prepare(scene, default_config().replace(mode="tiled"))
