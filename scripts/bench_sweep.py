@@ -26,6 +26,8 @@ def main():
     p.add_argument("--height", type=int, default=400)
     p.add_argument("--frames", type=int, default=36)
     p.add_argument("--out", default="/tmp/sweep_out")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile_px override (0 = config default)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -42,6 +44,8 @@ def main():
         mode=args.mode,
         camera=CameraConfig(width=args.width, height=args.height),
         bvh=BVHConfig(split="sah"))
+    if args.tile:
+        cfg = cfg.replace(tile_px=args.tile)
     anim = AnimationConfig(start_deg=0.0, stop_deg=args.frames * 10.0,
                            step_deg=10.0)
     metrics = os.path.join(args.out, "metrics.jsonl")

@@ -166,7 +166,7 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
 def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
                       maxv: int, block: int, page_tris: int,
-                      block_obj=None, excl=None):
+                      block_obj=None, excl=None, plan_w: int = None):
     """Page-list culling with range fallback.
 
     Conservative visibility is evaluated at fine BLOCK granularity
@@ -200,8 +200,10 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     range_cnt = jnp.maximum(last - first + 1, 0).astype(jnp.int32)
     lo = jnp.where(range_cnt > 0, first, 0).astype(jnp.int32)
 
+    pw = plan_w or PLAN_W
+    mv_cap = pw - PLAN_AUX
     page_cnt = visible.sum(axis=-1).astype(jnp.int32)
-    maxv = min(maxv, PLAN_MAXV)
+    maxv = min(maxv, mv_cap)
     use_list = (page_cnt <= maxv).astype(jnp.int32)
 
     # order entries front-to-back: bucket each page by its entry bound
@@ -231,18 +233,18 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     bucket_cnt = jnp.stack(
         [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
     base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
-    slot = jnp.full((n, NP_), PLAN_MAXV, jnp.int32)
+    slot = jnp.full((n, NP_), mv_cap, jnp.int32)
     for b in range(T_BUCKETS):
         mb = visible & (qb == b)
         pos = jnp.cumsum(mb, axis=-1) - 1
         slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
     packed = jnp.broadcast_to(idx[None, :], slot.shape) | (bound16 << 16)
-    k = min(PLAN_MAXV, NP_)
+    k = min(mv_cap, NP_)
     _, picked = jax.lax.top_k(-slot, k)        # ascending slot order
     entries = jnp.take_along_axis(packed, picked, axis=1)
-    if k < PLAN_MAXV:
+    if k < mv_cap:
         entries = jnp.concatenate(
-            [entries, jnp.zeros((n, PLAN_MAXV - k), jnp.int32)], axis=-1)
+            [entries, jnp.zeros((n, mv_cap - k), jnp.int32)], axis=-1)
     z = jnp.zeros_like(lo)
     aux = jnp.stack(
         [lo, range_cnt, jnp.minimum(page_cnt, maxv), use_list,
@@ -372,17 +374,20 @@ T_BUCKETS = 8
 
 
 def _tile_plan(plan_ref, i):
-    """Per-tile work plan from the fused scalar-prefetch table [n, PLAN_W]:
+    """Per-tile work plan from the fused scalar-prefetch table [n, pw]:
     page count, a k -> page-id mapping (exact list when it fit, covering
     contiguous range else), and a conservative entry-t lower bound per
-    position.  Fusing aux + packed entries into one 128-wide row costs
-    nothing (SMEM lane padding) and keeps exactly one prefetch operand."""
+    position.  Fusing aux + packed entries into one 128-multiple row costs
+    nothing (SMEM lane padding) and keeps exactly one prefetch operand.
+    The plan WIDTH is taken from the table's own (static) shape — big
+    scenes get wider plans (see _plan_width)."""
+    mv = plan_ref.shape[-1] - PLAN_AUX
     lo = plan_ref[i, 0]
     use_list = plan_ref[i, 3] == 1
     cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
     def entry(k):
-        return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
+        return plan_ref[i, PLAN_AUX + jnp.minimum(k, mv - 1)]
 
     def page(k):
         # clamp the list index: in range mode k can exceed maxv and both
@@ -603,9 +608,24 @@ def _anyhit_kernel(block: int, eps: float, no_max_t: bool, plan_ref, F_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-# SMEM is ~1 MB; a plan row occupies PLAN_W*4 bytes, so cap tiles per
+# SMEM is ~1 MB; a plan row occupies plan_w*4 bytes, so cap tiles per
 # pallas_call and lax.map over chunks for bigger frames.
 MAX_TILES_PER_CALL = (896 * 1024) // (PLAN_W * 4)
+
+
+def _plan_width(num_units: int) -> int:
+    """Plan-table width for a scene with ``num_units`` cullable units
+    (pages or windows).  Dense scenes overflow a 248-entry list on
+    through-geometry tiles and fall back to full covering-range walks —
+    measured 6x the whole frame on the 177k-tri complex scene — so big
+    scenes take wider (more SMEM, finer-chunked) plans instead."""
+    if num_units <= 1500 or PLAN_W >= 1024:
+        return PLAN_W
+    return int(_os.environ.get("SRT_TILED_PLAN_W_BIG", "1024"))
+
+
+def _max_tiles(plan_w: int) -> int:
+    return max((896 * 1024) // (plan_w * 4), 8)
 
 
 def _out_struct(shape, dtype, ref):
@@ -621,10 +641,11 @@ def _out_struct(shape, dtype, ref):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _chunk_tiles(fn, n, *arrays):
-    """Run ``fn(chunk_arrays...)`` over <=MAX_TILES_PER_CALL tile chunks
-    (leading axis n).  Pads with zeros (plan rows of zeros = cnt 0)."""
-    C = MAX_TILES_PER_CALL
+def _chunk_tiles(fn, n, *arrays, plan_w: int = None):
+    """Run ``fn(chunk_arrays...)`` over tile chunks sized to the SMEM plan
+    budget (leading axis n).  Pads with zeros (plan rows of zeros =
+    cnt 0)."""
+    C = _max_tiles(plan_w or PLAN_W)
     if n <= C:
         return fn(*arrays)
     nc = -(-n // C)
@@ -679,7 +700,7 @@ def tiled_nearest(F, plan, Gt, tile: int, page_tris: int, eps: float):
             interpret=_interpret(),
         )(planc, Fc, Gt)
 
-    t, idx = _chunk_tiles(call, n, F, plan)
+    t, idx = _chunk_tiles(call, n, F, plan, plan_w=plan.shape[1])
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
@@ -722,7 +743,8 @@ def tiled_anyhit(F, self_obj, plan, Gt,
         )(planc, Fc, selfc, Gt)
         return found
 
-    found = _chunk_tiles(call, n, F, self_obj.reshape(n, tile, 1), plan)
+    found = _chunk_tiles(call, n, F, self_obj.reshape(n, tile, 1), plan,
+                         plan_w=plan.shape[1])
     return found.reshape(n, tile) != 0
 
 
@@ -783,12 +805,14 @@ def _cull(origin, direction, tile, prep, maxv, excl=None):
     per-tile self-object id to cull (shadow passes; see _visibility)."""
     pt = prep.page_tris
     bobj = getattr(prep, "block_obj", None) if excl is not None else None
+    pw = _plan_width(prep.num_pages)
     if prep.num_pages > 65536:
         maxv = 0
     if maxv > 0:
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv,
-                                 prep.block_size, pt, bobj, excl)
+                                 prep.block_size, pt, bobj, excl,
+                                 plan_w=pw)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max, bobj, excl)
     # convert the covering block range to the covering PAGE range
@@ -799,7 +823,7 @@ def _cull(origin, direction, tile, prep, maxv, excl=None):
     z = jnp.zeros_like(lo)
     aux = jnp.stack([lo_p, cnt_p, z, z, z, z, z, z], axis=-1)
     return jnp.concatenate(
-        [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
+        [aux, jnp.zeros((n, pw - PLAN_AUX), jnp.int32)], axis=-1)
 
 
 def tiled_hits(prep, origin, direction, tile: int, eps: float,

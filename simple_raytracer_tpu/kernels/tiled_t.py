@@ -88,7 +88,7 @@ WINDOW_BLOCKS_AH = int(_os.environ.get("SRT_TILED_WB_AH", "4"))
 # independent K=16 dot so its bits don't depend on which windows share the
 # matmul, and tie order is preserved.
 PREPASS_M = float(_os.environ.get("SRT_TILED_PREPASS_M", str(2.0 ** -6)))
-FLAGS_W = 256            # flag-vector lanes (>= PLAN_MAXV, 128-multiple)
+# (flag-vector width now follows the plan width — see tiled_prepass_t)
 
 
 def _prepass_on() -> bool:
@@ -122,8 +122,10 @@ def _tile_plan_t(plan_ref, i, wb):
     use_list = plan_ref[i, 3] == 1
     cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
+    mv = plan_ref.shape[-1] - PLAN_AUX
+
     def entry(k):
-        return plan_ref[i, PLAN_AUX + jnp.minimum(k, PLAN_MAXV - 1)]
+        return plan_ref[i, PLAN_AUX + jnp.minimum(k, mv - 1)]
 
     def start(k):
         return jnp.where(use_list, entry(k) & 0xFFFF, lo + k) * wb
@@ -358,7 +360,8 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
     # tile.  alpha is ONE cheap cross-lane max per tile; the sum lands on
     # SUBLANES via the matvec in the body (so it broadcasts against quad).
     alpha = jnp.max(jnp.abs(Ft), axis=1, keepdims=True)  # [F_DIM, 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAGS_W), 1)
+    FW = flags_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, FW), 1)
     gbuf, sem_g = scratch if scratch else (None, None)
 
     if not resident and not _SYNC_DMA:
@@ -454,7 +457,7 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
 
     init = (jnp.int32(0), jnp.bool_(False),
             jnp.full((BS, TILE_R), jnp.inf, jnp.float32),
-            jnp.zeros((1, FLAGS_W), jnp.float32))
+            jnp.zeros((1, FW), jnp.float32))
     j_end, _, _, flags = jax.lax.while_loop(cond, body, init)
 
     if not resident and not _SYNC_DMA:
@@ -600,7 +603,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
             interpret=_interpret(),
         )(planc, Fc, Gt)
 
-    t, idx = _chunk_tiles(call, n, Ft, plan)
+    t, idx = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
@@ -613,6 +616,7 @@ def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     n = Ft.shape[0]
     KW = _kw(block, wb)
     res = _resident(Gt) if res is None else res
+    FW = plan.shape[1]          # flag lanes >= plan positions, 128-multiple
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -625,7 +629,7 @@ def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                 pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, FLAGS_W), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, 1, FW), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[] if res else [
@@ -636,15 +640,15 @@ def tiled_prepass_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
         (flags,) = pl.pallas_call(
             functools.partial(_prepass_kernel_t, block, wb, eps, res),
             grid_spec=grid_spec,
-            out_shape=[_out_struct((nl, 1, FLAGS_W), jnp.float32, Fc)],
+            out_shape=[_out_struct((nl, 1, FW), jnp.float32, Fc)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT) if res else None,
             interpret=_interpret(),
         )(planc, Fc, Gt)
         return flags
 
-    flags = _chunk_tiles(call, n, Ft, plan)
-    return flags.reshape(n, FLAGS_W)
+    flags = _chunk_tiles(call, n, Ft, plan, plan_w=FW)
+    return flags.reshape(n, FW)
 
 
 def _refine_plan(plan, flags):
@@ -653,25 +657,26 @@ def _refine_plan(plan, flags):
     list entries (bound 0); ranges too long for the flag vector keep their
     original plan (the HIGHEST pass walks them in full)."""
     n = plan.shape[0]
+    mv = plan.shape[1] - PLAN_AUX
     lo, rng, lcnt = plan[:, 0], plan[:, 1], plan[:, 2]
     use_list = plan[:, 3] == 1
     cnt = jnp.where(use_list, lcnt, rng)
-    pos = jnp.arange(PLAN_MAXV, dtype=jnp.int32)[None]
-    live = (flags[:, :PLAN_MAXV] > 0.0) & (pos < cnt[:, None])
+    pos = jnp.arange(mv, dtype=jnp.int32)[None]
+    live = (flags[:, :mv] > 0.0) & (pos < cnt[:, None])
     ent = jnp.where(use_list[:, None], plan[:, PLAN_AUX:], lo[:, None] + pos)
     # cumsum-scatter compaction (argsort would be a per-row sort; see
     # tiled.cull_blocks_lists)
     slot = jnp.where(live, jnp.cumsum(live, axis=1, dtype=jnp.int32) - 1,
-                     PLAN_MAXV)
+                     mv)
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                             slot.shape)
-    ent2 = jnp.zeros((n, PLAN_MAXV), jnp.int32).at[rows, slot].set(
+    ent2 = jnp.zeros((n, mv), jnp.int32).at[rows, slot].set(
         ent, mode="drop")
     cnt2 = live.sum(-1).astype(jnp.int32)
     z = jnp.zeros_like(lo)
     aux2 = jnp.stack([lo, rng, cnt2, jnp.ones_like(lo), z, z, z, z], axis=-1)
     plan2 = jnp.concatenate([aux2, ent2], axis=-1)
-    keep = (~use_list) & (cnt > PLAN_MAXV)
+    keep = (~use_list) & (cnt > mv)
     return jnp.where(keep[:, None], plan, plan2)
 
 
@@ -719,7 +724,8 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
         )(planc, bobj, Fc, selfc, Gt)
         return found
 
-    found = _chunk_tiles(call, n, Ft, self_obj, plan)
+    found = _chunk_tiles(call, n, Ft, self_obj, plan,
+                         plan_w=plan.shape[1])
     return found.reshape(n, tile) != 0
 
 
@@ -742,10 +748,12 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
     bobj = getattr(prep, "block_obj", None) if excl is not None else None
     NB = prep.block_min.shape[0]
     assert NB % wb == 0, (NB, wb)
+    pw = _ray_major._plan_width(NB // wb)
     if maxv > 0 and NB // wb <= 65536:
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
-            maxv, prep.block_size, wb * prep.block_size, bobj, excl)
+            maxv, prep.block_size, wb * prep.block_size, bobj, excl,
+            plan_w=pw)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
                                      bobj, excl)
@@ -756,7 +764,7 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
     z = jnp.zeros_like(lo)
     aux = jnp.stack([ulo, ucnt, z, z, z, z, z, z], axis=-1)
     return jnp.concatenate(
-        [aux, jnp.zeros((n, PLAN_MAXV), jnp.int32)], axis=-1)
+        [aux, jnp.zeros((n, pw - PLAN_AUX), jnp.int32)], axis=-1)
 
 
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
