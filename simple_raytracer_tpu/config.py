@@ -111,6 +111,20 @@ class RenderConfig:
     # 38 -> 13 ms).  Small renders still work (tile padding clamps).
     tile_px: int = 32
 
+    # Shadow-pass ray-tile size (RAY count, not pixels) for the tiled path.
+    # Shadow queries originate on surfaces, so their per-tile direction
+    # spread is wider than primaries'; a finer tile gives much tighter cull
+    # bounds (shorter block lists) at the cost of more grid steps.  Shadow
+    # tiles are CONTIGUOUS chunks of the primary tile (no re-permutation):
+    # 256 = an 8x32-pixel strip of a 32px tile.  0 = ADAPTIVE: dense scenes
+    # (> 128k triangles) use 256, small scenes keep the primary tile.
+    # Measured on TPU: complex scene (178k tris, angle 180) occlusion
+    # 121 -> 88 ms/frame at 256 (128 and 512 both worse; whole turntable
+    # 163 -> 135 ms/frame, bit-identical checksum); bunny flagship (69k
+    # tris) REGRESSES 118 -> 135 ms at 256 — its occlusion is already
+    # cheap and the finer tiles just 4x the shadow-cull cost.
+    shadow_tile: int = 0
+
     # Tiled-path kernel implementation: None -> SRT_TILED_IMPL env (default
     # 'sublane').  'paged' = ray-major 128-tri Gram pages (kernels/tiled.py);
     # 'sublane' = transposed layout, 32-tri fetch granularity

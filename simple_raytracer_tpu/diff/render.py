@@ -98,8 +98,9 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, tile,
                                                  cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(
-            prep, tile, cfg.mt_eps, cfg.cull_maxv,
-            cfg.light.shadow_no_max_t, cfg.light.num_samples) \
+            prep, tiled._shadow_tile(cfg, tile, prep), cfg.mt_eps,
+            cfg.cull_maxv, cfg.light.shadow_no_max_t,
+            cfg.light.num_samples) \
             if cfg.light.enable_shadows else None
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")

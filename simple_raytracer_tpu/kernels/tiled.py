@@ -856,6 +856,17 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64):
     return tiled_hits(prep, origin, direction, tile, eps, maxv)
 
 
+def _shadow_tile(cfg, tile: int, prep) -> int:
+    """Effective shadow-pass ray-tile size (config.shadow_tile; 0 = adaptive
+    on scene density — dense scenes win from tighter shadow cull bounds,
+    small scenes lose to the extra cull/grid overhead; measured numbers in
+    config.py)."""
+    if cfg.shadow_tile:
+        return cfg.shadow_tile
+    tris = prep.block_min.shape[0] * prep.block_size
+    return 256 if tris > 131072 and tile > 256 else tile
+
+
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
                     no_max_t: bool = True, num_samples: int = 1,
                     impl=None):
@@ -1010,7 +1021,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     impl = get_impl(cfg.tiled_impl)
     t, tri_idx = impl.hits(prep, origin, direction, tile, cfg.mt_eps,
                            cfg.cull_maxv)
-    shadow_fn = tiled_shadow_fn(prep, tile, cfg.mt_eps, cfg.cull_maxv,
+    stile = _shadow_tile(cfg, tile, prep)
+    shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,
                                 cfg.light.shadow_no_max_t,
                                 cfg.light.num_samples, impl=impl) \
         if cfg.light.enable_shadows else None
