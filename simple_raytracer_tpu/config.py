@@ -104,12 +104,15 @@ class RenderConfig:
     mode: str = "bruteforce"
 
     # Pixel tile edge for the tiled/Pallas path (tile = tile_px * tile_px
-    # rays).  32 measured best on TPU: DMA descriptor issue (~1us each)
-    # dominates the tiled kernels, and a 32x32 tile amortizes each
-    # geometry-window fetch over 4x the rays of a 16x16 tile (bench scene:
-    # full shadowed frame 281 -> 226 ms; the occlusion kernel alone
-    # 38 -> 13 ms).  Small renders still work (tile padding clamps).
-    tile_px: int = 32
+    # rays).  0 = ADAPTIVE on scene density (kernels.tiled.
+    # effective_tile_px): small scenes take 32 — DMA descriptor issue
+    # (~1us each) dominates and a 32x32 tile amortizes each geometry-window
+    # fetch over 4x the rays (bunny 1080p: full frame 131 -> 118 ms vs
+    # 16px); dense scenes (> 128k tris) take 16 — their per-tile lists are
+    # long, and tighter bounds beat fetch amortization (complex scene @180:
+    # 132.5 -> 97.9 ms/frame).  Small renders still work (tile padding
+    # clamps).
+    tile_px: int = 0
 
     # Shadow-pass ray-tile size (RAY count, not pixels) for the tiled path.
     # Shadow queries originate on surfaces, so their per-tile direction

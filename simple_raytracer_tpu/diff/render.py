@@ -94,7 +94,8 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
     elif cfg.mode == "tiled":
         from ..kernels import tiled
         prep = jax.lax.stop_gradient(prep_or_scene)
-        tile = cfg.tile_px * cfg.tile_px
+        tpx = tiled.effective_tile_px(cfg, prep.scene.verts.shape[0])
+        tile = tpx * tpx
         hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, tile,
                                                  cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(

@@ -166,7 +166,8 @@ def cull_blocks(o: jnp.ndarray, d: jnp.ndarray, tile: int,
 def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
                       maxv: int, block: int, page_tris: int,
-                      block_obj=None, excl=None, plan_w: int = None):
+                      block_obj=None, excl=None, plan_w: int = None,
+                      groups: int = 1):
     """Page-list culling with range fallback.
 
     Conservative visibility is evaluated at fine BLOCK granularity
@@ -180,6 +181,18 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     Returns the fused plan table [n, PLAN_W] i32 with aux columns
     (lo_page, range_pages, page_cnt, use_list, 0...) then packed entries
     ``page_id | bound16 << 16``, bound-ascending.
+
+    With ``groups`` G > 1 the tile's rays are additionally split into G
+    contiguous SUB-GROUPS (tile/G rays each) and every list entry gets a
+    G-bit sub-group visibility mask, appended to the plan as packed words
+    (8 entries x 4 bits per i32; requires maxv % 8 == 0).  The kernel can
+    then skip a page for the sub-groups whose own (tighter) ray bounds
+    cannot reach it — sub-tile culling that still shares the tile's plan
+    and window DMA.  Masks are evaluated at PAGE granularity (page AABB =
+    union of member block AABBs), which adds ~one tile-level cull pass of
+    work, NOT a G-times-finer full cull.  A cleared bit is sound: every
+    ray belongs to exactly one sub-group and the per-sub-group interval
+    test is conservative for its rays.
     """
     visible_b, tlo_b, n = _visibility(o, d, tile, block_min, block_max,
                                       block_obj, excl)
@@ -249,7 +262,32 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     aux = jnp.stack(
         [lo, range_cnt, jnp.minimum(page_cnt, maxv), use_list,
          z, z, z, z], axis=-1)
-    return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
+    if groups <= 1:
+        return jnp.concatenate([aux, entries], axis=-1)   # [n, PLAN_W]
+
+    assert 2 <= groups <= 4 and tile % groups == 0, (groups, tile)
+    assert mv_cap % 8 == 0, mv_cap
+    # page AABBs (union of member blocks) tested against each sub-group's
+    # own ray bounds -> [n*G, NP] visibility, reduced to a 4-bit mask/page
+    page_min = block_min.reshape(NP_, BPP, 3).min(axis=1)
+    page_max = block_max.reshape(NP_, BPP, 3).max(axis=1)
+    op, dp, _ = pad_rays(o, d, tile)     # pad to FULL tiles first, so the
+    # sub-group pass sees exactly n*G groups (pad_rays at tile/G alone
+    # would under-pad a ragged tail tile)
+    vis_g, _, _ = _visibility(op, dp, tile // groups, page_min, page_max)
+    vis_g = vis_g.reshape(n, groups, NP_)
+    mask4 = jnp.zeros((n, NP_), jnp.int32)
+    for g in range(groups):
+        mask4 = mask4 | (vis_g[:, g].astype(jnp.int32) << g)
+    maskk = jnp.take_along_axis(mask4, picked, axis=1)
+    if k < mv_cap:
+        maskk = jnp.concatenate(
+            [maskk, jnp.zeros((n, mv_cap - k), jnp.int32)], axis=-1)
+    m8 = maskk.reshape(n, mv_cap // 8, 8)
+    maskw = jnp.zeros((n, mv_cap // 8), jnp.int32)
+    for e in range(8):
+        maskw = maskw | (m8[:, :, e] << (4 * e))
+    return jnp.concatenate([aux, entries, maskw], axis=-1)
 
 
 def _visibility(o, d, tile, block_min, block_max,
@@ -625,7 +663,11 @@ def _plan_width(num_units: int) -> int:
 
 
 def _max_tiles(plan_w: int) -> int:
-    return max((896 * 1024) // (plan_w * 4), 8)
+    # Mosaic pads the prefetched SMEM plan to a 128-lane multiple (e.g. a
+    # width-287 grouped plan allocates 384 i32/row), so budget on the
+    # PADDED width or dense frames overflow the ~1MB SMEM.
+    wpad = -(-plan_w // 128) * 128
+    return max((896 * 1024) // (wpad * 4), 8)
 
 
 def _out_struct(shape, dtype, ref):
@@ -856,6 +898,17 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64):
     return tiled_hits(prep, origin, direction, tile, eps, maxv)
 
 
+def effective_tile_px(cfg, num_tris: int) -> int:
+    """Pixel tile edge for the tiled path (config.tile_px; 0 = adaptive on
+    scene density).  Dense scenes win from tighter per-tile cull bounds the
+    same way the shadow pass does (complex scene @180: full frame
+    132.5 -> 97.9 ms/frame at 16px; bunny 69k tris regresses 118 -> 131 at
+    16px — its lists are short and the 4x cull/grid overhead dominates)."""
+    if cfg.tile_px:
+        return cfg.tile_px
+    return 16 if num_tris > 131072 else 32
+
+
 def _shadow_tile(cfg, tile: int, prep) -> int:
     """Effective shadow-pass ray-tile size (config.shadow_tile; 0 = adaptive
     on scene density — dense scenes win from tighter shadow cull bounds,
@@ -1017,7 +1070,8 @@ def get_impl(name: str = None):
 
 def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
-    tile = cfg.tile_px * cfg.tile_px
+    tpx = effective_tile_px(cfg, prep.scene.verts.shape[0])
+    tile = tpx * tpx
     impl = get_impl(cfg.tiled_impl)
     t, tri_idx = impl.hits(prep, origin, direction, tile, cfg.mt_eps,
                            cfg.cull_maxv)

@@ -113,16 +113,22 @@ def ray_tile_features_t(o: jnp.ndarray, d: jnp.ndarray, tile: int):
     return F.transpose(0, 2, 1), n, R
 
 
-def _tile_plan_t(plan_ref, i, wb):
+def _tile_plan_t(plan_ref, i, wb, groups: int = 1):
     """Per-tile plan: window count, k -> window-start-BLOCK mapping, list
     flag, and the conservative 16-bit entry-t bound per position.  Plan
     entries carry aligned WINDOW ids (block id // wb) straight from
-    tiled.cull_blocks_lists with page_tris = wb*block_size."""
+    tiled.cull_blocks_lists with page_tris = wb*block_size.
+
+    With ``groups`` > 1 the plan tail carries packed per-entry sub-group
+    visibility masks (tiled.cull_blocks_lists(groups=...): 8 entries x 4
+    bits per i32) and a 5th accessor ``gmask(k)`` is returned; range-mode
+    tiles have no masks (all groups visible)."""
     lo = plan_ref[i, 0]
     use_list = plan_ref[i, 3] == 1
     cnt = jnp.where(use_list, plan_ref[i, 2], plan_ref[i, 1])
 
-    mv = plan_ref.shape[-1] - PLAN_AUX
+    W = plan_ref.shape[-1] - PLAN_AUX
+    mv = (W * 8) // 9 if groups > 1 else W
 
     def entry(k):
         return plan_ref[i, PLAN_AUX + jnp.minimum(k, mv - 1)]
@@ -132,7 +138,16 @@ def _tile_plan_t(plan_ref, i, wb):
 
     def bound16(k):
         return jax.lax.shift_right_logical(entry(k), 16)
-    return cnt, start, use_list, bound16
+
+    if groups <= 1:
+        return cnt, start, use_list, bound16
+
+    def gmask(k):
+        kc = jnp.minimum(k, mv - 1)
+        w = plan_ref[i, PLAN_AUX + mv + kc // 8]
+        m = jax.lax.shift_right_logical(w, 4 * (kc % 8)) & 0xF
+        return jnp.where(use_list, m, 0xF)
+    return cnt, start, use_list, bound16, gmask
 
 
 def _nb_total(G_hbm, BS):
@@ -336,6 +351,111 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
         def _():
             _win_wait(G, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
 
+    bt = jnp.min(tv, axis=0, keepdims=True)              # [1, TILE_R]
+    bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
+                  axis=0, keepdims=True)
+    t_ref[0] = bt
+    idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
+
+
+def _nearest_kernel_g(BS: int, WB: int, eps: float, prec: str,
+                      resident: bool, groups: int, plan_ref, Ft_ref, G,
+                      t_ref, idx_ref, t_acc, i_acc, *scratch):
+    """Sub-group variant of _nearest_kernel_t: the tile's TILE_R rays are
+    split into ``groups`` contiguous lane groups (tile/G each).  Every plan
+    entry carries a G-bit sub-group visibility mask
+    (tiled.cull_blocks_lists(groups=...)); a super-step runs its matmul
+    ONLY for groups with a set bit among the step's KW windows, and the
+    front-to-back early break is tracked PER GROUP — so one deep silhouette
+    region no longer drags the other 3/4 of the tile through its list.
+    Window DMA, plan and grid structure are shared with the ungrouped
+    kernel (same descriptor count).  Accumulators live in VMEM scratch
+    (loop carries cannot be updated under pl.when)."""
+    i = pl.program_id(0)
+    KW = _kw(BS, WB, prec)
+    cnt, start, use_list, bound16, gmask = _tile_plan_t(plan_ref, i, WB,
+                                                        groups)
+    ns = (cnt + KW - 1) // KW
+    Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
+    TILE_R = Ft.shape[1]
+    GR = TILE_R // groups
+    FULL = (1 << groups) - 1
+    gbuf, sem_g = scratch if scratch else (None, None)
+
+    t_acc[...] = jnp.full((BS, TILE_R), jnp.inf, jnp.float32)
+    i_acc[...] = jnp.full((BS, TILE_R), -1, jnp.int32)
+
+    if not resident and not _SYNC_DMA:
+        @pl.when(ns > 0)
+        def _():
+            _win_dma(G, gbuf, sem_g, start, 0, 0, BS, WB, KW)
+
+    def cond(state):
+        j, done = state
+        return (j < ns) & (done != FULL)
+
+    def body(state):
+        j, done = state
+        # OR of the step's KW window masks, per group (scalar)
+        m_step = gmask(j * KW)
+        for k in range(1, KW):
+            m_step = m_step | jnp.where(j * KW + k < cnt,
+                                        gmask(j * KW + k), 0)
+        need = m_step & ~done & FULL
+        if resident:
+            Gs = _res_gather(G, start, j, BS, WB, KW)
+        else:
+            slot = j % 2 if not _SYNC_DMA else 0
+            if _SYNC_DMA:
+                _win_dma(G, gbuf, sem_g, start, 0, j, BS, WB, KW)
+            else:
+                @pl.when(j + 1 < ns)
+                def _():
+                    _win_dma(G, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                             BS, WB, KW)
+            _win_wait(G, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            Gs = gbuf[slot]
+        row = jax.lax.broadcasted_iota(jnp.int32, (BS, GR), 0)
+        nbw = _nb_total(G, BS) - WB
+        for g in range(groups):
+            @pl.when((need & (1 << g)) != 0)
+            def _(g=g):
+                quad = _step_quad(Gs, Ft[:, g * GR:(g + 1) * GR], prec)
+                bt = t_acc[:, g * GR:(g + 1) * GR]
+                bi = i_acc[:, g * GR:(g + 1) * GR]
+                for k in range(KW):
+                    s = jnp.clip(start(j * KW + k), 0, nbw)
+                    for b in range(WB):
+                        t = _mt_epilogue_t(quad, (k * WB + b) * 4 * BS,
+                                           BS, eps)
+                        idv = (s + b) * BS + row
+                        imp = t < bt
+                        bt = jnp.where(imp, t, bt)
+                        bi = jnp.where(imp, idv, bi)
+                t_acc[:, g * GR:(g + 1) * GR] = bt
+                i_acc[:, g * GR:(g + 1) * GR] = bi
+        if _NO_BREAK:
+            return j + 1, done
+        nb16 = bound16((j + 1) * KW)
+        for g in range(groups):
+            per_ray = jnp.min(t_acc[:, g * GR:(g + 1) * GR], axis=0,
+                              keepdims=True)
+            worst_bits = jnp.max(jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(per_ray, jnp.int32), 16))
+            nd = use_list & (worst_bits < nb16)
+            done = done | jnp.where(nd, 1 << g, 0)
+        return j + 1, done
+
+    init = (jnp.int32(0), jnp.int32(0))
+    j_end, _ = jax.lax.while_loop(cond, body, init)
+
+    if not resident and not _SYNC_DMA:
+        @pl.when(j_end < ns)
+        def _():
+            _win_wait(G, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
+
+    tv = t_acc[...]
+    iv = i_acc[...]
     bt = jnp.min(tv, axis=0, keepdims=True)              # [1, TILE_R]
     bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
                   axis=0, keepdims=True)
@@ -548,6 +668,101 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
     hit_ref[0] = (found > 0.0).astype(jnp.int32)
 
 
+def _anyhit_kernel_g(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
+                     resident: bool, groups: int, plan_ref, bobj_ref, Ft_ref,
+                     self_ref, G_in, hit_ref, f_acc, *scratch):
+    """Sub-group variant of _anyhit_kernel_t (see _nearest_kernel_g): each
+    256-ray sub-group skips masked-out windows and exits as soon as ITS
+    rays are all occluded — one lit ray no longer drags the whole tile
+    through the canopy.  DMA and plan stay at tile granularity."""
+    i = pl.program_id(0)
+    KW = _kw(BS, WB, prec)
+    cnt, start, use_list, _b16, gmask = _tile_plan_t(plan_ref, i, WB, groups)
+    ns = (cnt + KW - 1) // KW
+    Ft = Ft_ref[0]
+    TILE_R = Ft.shape[1]
+    GR = TILE_R // groups
+    FULL = (1 << groups) - 1
+    self_obj = self_ref[0]                               # [1, TILE_R] f32
+    gbuf, sem_g = scratch if scratch else (None, None)
+
+    f_acc[...] = jnp.zeros((1, TILE_R), jnp.float32)
+
+    if not resident and not _SYNC_DMA:
+        @pl.when(ns > 0)
+        def _():
+            _win_dma(G_in, gbuf, sem_g, start, 0, 0, BS, WB, KW)
+
+    def cond(state):
+        j, done = state
+        return (j < ns) & (done != FULL)
+
+    def body(state):
+        j, done = state
+        m_step = gmask(j * KW)
+        for k in range(1, KW):
+            m_step = m_step | jnp.where(j * KW + k < cnt,
+                                        gmask(j * KW + k), 0)
+        need = m_step & ~done & FULL
+        if resident:
+            Gs = _res_gather(G_in, start, j, BS, WB, KW)
+        else:
+            slot = j % 2 if not _SYNC_DMA else 0
+            if _SYNC_DMA:
+                _win_dma(G_in, gbuf, sem_g, start, 0, j, BS, WB, KW)
+            else:
+                @pl.when(j + 1 < ns)
+                def _():
+                    _win_dma(G_in, gbuf, sem_g, start, (j + 1) % 2, j + 1,
+                             BS, WB, KW)
+            _win_wait(G_in, gbuf, sem_g, start, slot, j, BS, WB, KW)
+            Gs = gbuf[slot]
+        nbw = _nb_total(G_in, BS) - WB
+        for g in range(groups):
+            @pl.when((need & (1 << g)) != 0)
+            def _(g=g):
+                sl = slice(g * GR, (g + 1) * GR)
+                quad = _step_quad(Gs, Ft[:, sl], prec)
+                so_g = self_obj[:, sl]
+                occ_vec = jnp.zeros((BS, GR), jnp.float32)
+                for k in range(KW):
+                    s = jnp.clip(start(j * KW + k), 0, nbw)
+                    for b in range(WB):
+                        base = (k * WB + b) * 4 * BS
+                        det = quad[base:base + BS]
+                        u_num = quad[base + BS:base + 2 * BS]
+                        v_num = quad[base + 2 * BS:base + 3 * BS]
+                        t_num = quad[base + 3 * BS:base + 4 * BS]
+                        adet = jnp.abs(det)
+                        occ = (adet >= eps) & \
+                            (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
+                            (v_num * det >= 0.0) & \
+                            (jnp.abs(u_num + v_num) <= adet) & \
+                            (t_num * det >= 0.0)
+                        if not no_max_t:
+                            occ = occ & (jnp.abs(t_num) <= adet)
+                        obj_s = bobj_ref[s + b].astype(jnp.float32)
+                        occ = occ & (obj_s != so_g)
+                        occ_vec = jnp.maximum(occ_vec,
+                                              jnp.where(occ, 1.0, 0.0))
+                occ1 = jnp.max(occ_vec, axis=0, keepdims=True)   # [1, GR]
+                f_acc[:, sl] = jnp.maximum(f_acc[:, sl], occ1)
+        for g in range(groups):
+            allocc = jnp.min(f_acc[:, g * GR:(g + 1) * GR]) > 0.0
+            done = done | jnp.where(allocc, 1 << g, 0)
+        return j + 1, done
+
+    init = (jnp.int32(0), jnp.int32(0))
+    j_end, _ = jax.lax.while_loop(cond, body, init)
+
+    if not resident and not _SYNC_DMA:
+        @pl.when(j_end < ns)
+        def _():
+            _win_wait(G_in, gbuf, sem_g, start, j_end % 2, j_end, BS, WB, KW)
+
+    hit_ref[0] = (f_acc[...] > 0.0).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers (same chunking/SMEM limits as the ray-major path)
 # ---------------------------------------------------------------------------
@@ -557,14 +772,15 @@ _chunk_tiles = _ray_major._chunk_tiles
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "prec", "res"))
+                                             "prec", "res", "groups"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
-                    prec: str = None, res: bool = None):
+                    prec: str = None, res: bool = None, groups: int = 1):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
     -> (t [n,tile], idx [n,tile]).  ``prec``: tri|highest|default (None ->
     the SRT_MT_PRECISION default).  ``res``: VMEM-resident geometry (None
     -> auto by size; pass explicitly from already-jitted callers — the env
-    var is not part of this function's jit cache key)."""
+    var is not part of this function's jit cache key).  ``groups`` > 1
+    needs a plan built with the same groups (sub-group masks)."""
     prec = prec or _mode()
     n = Ft.shape[0]
     KW = _kw(block, wb, prec)
@@ -572,6 +788,18 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
 
     def call(Fc, planc):
         nl = Fc.shape[0]
+        scratch = [] if res else [
+            pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KW)),
+        ]
+        if groups > 1:
+            kern = functools.partial(_nearest_kernel_g, block, wb, eps,
+                                     prec, res, groups)
+            scratch = [pltpu.VMEM((block, tile), jnp.float32),
+                       pltpu.VMEM((block, tile), jnp.int32)] + scratch
+        else:
+            kern = functools.partial(_nearest_kernel_t, block, wb, eps,
+                                     prec, res)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nl,),
@@ -586,13 +814,10 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[] if res else [
-                pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, KW)),
-            ],
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
-            functools.partial(_nearest_kernel_t, block, wb, eps, prec, res),
+            kern,
             grid_spec=grid_spec,
             out_shape=[
                 _out_struct((nl, 1, tile), jnp.float32, Fc),
@@ -681,12 +906,14 @@ def _refine_plan(plan, flags):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "no_max_t", "prec", "res"))
+                                             "no_max_t", "prec", "res",
+                                             "groups"))
 def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                    wb: int, eps: float, no_max_t: bool = True,
-                   prec: str = None, res: bool = None):
+                   prec: str = None, res: bool = None, groups: int = 1):
     """Occlusion query.  self_obj [n, 1, tile] f32, bobj [NB+pad] i32
-    per-block object ids.  -> found [n, tile]."""
+    per-block object ids.  -> found [n, tile].  ``groups`` > 1 needs a
+    plan built with the same groups (sub-group masks)."""
     prec = prec or _mode()
     n = Ft.shape[0]
     KW = _kw(block, wb, prec)
@@ -694,6 +921,17 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
+        scratch = [] if res else [
+            pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KW)),
+        ]
+        if groups > 1:
+            kern = functools.partial(_anyhit_kernel_g, block, wb, eps,
+                                     no_max_t, prec, res, groups)
+            scratch = [pltpu.VMEM((1, tile), jnp.float32)] + scratch
+        else:
+            kern = functools.partial(_anyhit_kernel_t, block, wb, eps,
+                                     no_max_t, prec, res)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nl,),
@@ -708,14 +946,10 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[] if res else [
-                pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, KW)),
-            ],
+            scratch_shapes=scratch,
         )
         (found,) = pl.pallas_call(
-            functools.partial(_anyhit_kernel_t, block, wb, eps, no_max_t,
-                              prec, res),
+            kern,
             grid_spec=grid_spec,
             out_shape=[_out_struct((nl, 1, tile), jnp.int32, Fc)],
             compiler_params=pltpu.CompilerParams(
@@ -735,7 +969,33 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
 # these through the ``impl`` parameter)
 # ---------------------------------------------------------------------------
 
-def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
+def _groups_for(tile: int, env: str = "SRT_TILED_GROUPS",
+                default_on: bool = False) -> int:
+    """Sub-group count for a ray-tile: 256-ray groups, max 4 (the per-entry
+    mask is 4 bits).  The env var overrides (1 disables).
+
+    Default OFF for BOTH query types — a measured negative result (kept as
+    an env-gated escape hatch for future hardware): despite a ~50%
+    per-(entry, sub-group) mask skip rate, splitting the super-step matmul
+    4 ways costs more than the skipped work saves (bunny hits 87.1 vs
+    87.4; complex@180 hits 49.8 vs 47.5, occl@stile-1024 129.2 grouped vs
+    121.8).  On VMEM-RESIDENT scenes there are no DMA descriptors to
+    share, so plain finer TILES dominate grouping (complex occl: 87.8 at
+    stile=256 vs 129.2 grouped@1024) — see config.shadow_tile/tile_px."""
+    g = _os.environ.get(env, "")
+    if g:
+        return max(1, min(4, int(g)))
+    if default_on and tile % 256 == 0 and tile >= 512:
+        return min(4, tile // 256)
+    return 1
+
+
+def _groups_for_ah(tile: int) -> int:
+    return _groups_for(tile, env="SRT_TILED_GROUPS_AH", default_on=False)
+
+
+def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
+         groups: int = 1):
     """Plan builder for the sublane kernels.
 
     Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
@@ -743,7 +1003,9 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
     granularity and OR-reduces to windows — this is exactly
     tiled.cull_blocks_lists with page_tris = wb*block_size, so the sublane
     path shares the paged path's cull cost (no per-tile greedy cover).
-    Scenes beyond the 16-bit window-id space force range mode."""
+    Scenes beyond the 16-bit window-id space force range mode.  With
+    ``groups`` > 1 the plan tail carries per-entry sub-group masks (see
+    tiled.cull_blocks_lists)."""
     wb = wb or WINDOW_BLOCKS
     bobj = getattr(prep, "block_obj", None) if excl is not None else None
     NB = prep.block_min.shape[0]
@@ -753,7 +1015,7 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
             maxv, prep.block_size, wb * prep.block_size, bobj, excl,
-            plan_w=pw)
+            plan_w=pw, groups=groups)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
                                      bobj, excl)
@@ -763,8 +1025,11 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None):
     n = lo.shape[0]
     z = jnp.zeros_like(lo)
     aux = jnp.stack([ulo, ucnt, z, z, z, z, z, z], axis=-1)
+    tail = pw - PLAN_AUX
+    if groups > 1:      # keep the grouped plan width (all range mode:
+        tail += tail // 8   # masks never read -> zeros)
     return jnp.concatenate(
-        [aux, jnp.zeros((n, pw - PLAN_AUX), jnp.int32)], axis=-1)
+        [aux, jnp.zeros((n, tail), jnp.int32)], axis=-1)
 
 
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
@@ -776,9 +1041,9 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     plan, then a HIGHEST-precision kernel reruns only the flagged windows —
     bit-identical to the single-pass HIGHEST walk."""
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
-    plan = cull(prep, origin, direction, tile, maxv)
     res = _resident(prep.gram_t)
     if _prepass_on() and maxv > 0:
+        plan = cull(prep, origin, direction, tile, maxv)
         flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
                                 prep.block_size, WINDOW_BLOCKS, eps,
                                 res=res)
@@ -787,17 +1052,21 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec="highest", res=res)
     else:
+        groups = _groups_for(tile) if maxv > 0 else 1
+        plan = cull(prep, origin, direction, tile, maxv, groups=groups)
         t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
-                                 res=res)
+                                 res=res, groups=groups)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
 def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
     """Occlusion-query plan: wider windows (WINDOW_BLOCKS_AH) — any-hit has
-    no front-to-back break, so fewer DMA descriptors beat tighter lists."""
+    no front-to-back break, so fewer DMA descriptors beat tighter lists.
+    Grouped (sub-group masks) whenever the tile splits into 256-ray
+    groups; anyhit() derives the same group count from the tile size."""
     return cull(prep, origin, direction, tile, maxv, excl,
-                wb=WINDOW_BLOCKS_AH)
+                wb=WINDOW_BLOCKS_AH, groups=_groups_for_ah(tile))
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
@@ -814,4 +1083,5 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
     return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
                           prep.gram_t, bobj, tile, prep.block_size,
                           WINDOW_BLOCKS_AH, eps, no_max_t,
-                          res=_resident(prep.gram_t))
+                          res=_resident(prep.gram_t),
+                          groups=_groups_for_ah(tile))

@@ -159,10 +159,17 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
     cam = cfg.camera
     if cfg.mode == "tiled":
         # rays generated directly in 2D-tile-major order: iota math instead
-        # of three full-array permutation gathers (o, d in; results out)
+        # of three full-array permutation gathers (o, d in; results out).
+        # Tile edge may be scene-adaptive (kernels.tiled.effective_tile_px);
+        # render_flat_tiled derives the SAME value from the same tri count.
+        from ..accel.prepared import PreparedScene as _PS
+        from ..kernels.tiled import effective_tile_px
+        ntris = (scene.scene.verts.shape[0] if isinstance(scene, _PS)
+                 else scene.verts.shape[0])
+        tpx = effective_tile_px(cfg, ntris)
         from ..ops.camera import primary_rays_tiled
         o, d, _tx, _ty = primary_rays_tiled(
-            cam.width, cam.height, cfg.tile_px, cam.focal,
+            cam.width, cam.height, tpx, cam.focal,
             cam.normalize_dirs, view_matrix=view_matrix)
     elif view_matrix is None:
         o, d = primary_rays(cam.width, cam.height, cam.focal,
@@ -205,8 +212,8 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
         from ..ops.camera import untile_image
         radiance_t, hit_t = body(o, d)
         radiance = untile_image(radiance_t.reshape(-1, 3), W, H,
-                                cfg.tile_px, _tx, _ty)
-        hit = untile_image(hit_t.reshape(-1), W, H, cfg.tile_px, _tx, _ty)
+                                tpx, _tx, _ty)
+        hit = untile_image(hit_t.reshape(-1), W, H, tpx, _tx, _ty)
         return radiance, hit
 
     radiance, hit = _map_ray_chunks(body, o, d, cfg.ray_chunk)
