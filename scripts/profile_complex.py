@@ -32,6 +32,10 @@ cfg = default_config().replace(mode="tiled", bvh=BVHConfig(split="sah"),
 if os.environ.get("SRT_PROF_TILE"):
     cfg = cfg.replace(tile_px=int(os.environ["SRT_PROF_TILE"]))
 prep = prepare(sm.build(), cfg)
+if not cfg.tile_px:            # resolve the adaptive default for the
+    from simple_raytracer_tpu.kernels.tiled import effective_tile_px
+    cfg = cfg.replace(tile_px=effective_tile_px(
+        cfg, prep.scene.verts.shape[0]))       # stage timers below
 light = jnp.asarray(light_np, jnp.float32)
 o, d, _tx, _ty = primary_rays_tiled(W, H, cfg.tile_px, cfg.camera.focal,
                                     cfg.camera.normalize_dirs,

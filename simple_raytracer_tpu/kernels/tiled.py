@@ -238,23 +238,22 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     bound16 = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(floor_t, jnp.int32), 16)
 
-    # bucket-ordered compaction via top_k + small gather.  A scatter here
-    # measured 13.5 ms/frame on the 1080p bench (TPU scatters serialize);
-    # top_k of the negated slot rank is ~sorting 248 of ~1k lanes and the
-    # take_along_axis gather is [n, 248].  (A full argsort would be a
-    # per-row sort — hundreds of ms at 8k tiles x 500 pages.)
-    bucket_cnt = jnp.stack(
-        [(visible & (qb == b)).sum(-1) for b in range(T_BUCKETS)], axis=-1)
-    base = jnp.cumsum(bucket_cnt, axis=-1) - bucket_cnt           # [n, 8]
-    slot = jnp.full((n, NP_), mv_cap, jnp.int32)
-    for b in range(T_BUCKETS):
-        mb = visible & (qb == b)
-        pos = jnp.cumsum(mb, axis=-1) - 1
-        slot = jnp.where(mb, base[:, b:b + 1] + pos, slot)
-    packed = jnp.broadcast_to(idx[None, :], slot.shape) | (bound16 << 16)
+    # bucket-ordered compaction via ONE top_k, NO rank pass, NO gather: the
+    # plan entry ``(bound16 << 16) | page_id`` IS a valid sort key —
+    # non-negative IEEE floats order as ints, so bound16 is monotone in
+    # floor_t (and < 0x8000 for every finite floor_t: exponent <= 254
+    # keeps the top bit clear), and the id low bits make keys unique with
+    # idx-ascending tie order inside a bucket.  top_k of the negated key
+    # returns the front-to-back entry list directly.  (History: a scatter
+    # compaction measured 13.5 ms/frame — TPU scatters serialize; the
+    # two-phase bucket-rank + top_k(-slot) + take_along_axis replacement
+    # still spent ~16 [n, NP] ranking sweeps and a [n, 248] gather.)
+    # Invisible pages key to +max and land past every real entry.
+    key = jnp.where(visible, (bound16 << 16) | idx[None, :],
+                    jnp.int32(0x7FFFFFFF))
     k = min(mv_cap, NP_)
-    _, picked = jax.lax.top_k(-slot, k)        # ascending slot order
-    entries = jnp.take_along_axis(packed, picked, axis=1)
+    negv, _ = jax.lax.top_k(-key, k)           # ascending (bound16, idx)
+    entries = -negv
     if k < mv_cap:
         entries = jnp.concatenate(
             [entries, jnp.zeros((n, mv_cap - k), jnp.int32)], axis=-1)
@@ -279,7 +278,7 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     mask4 = jnp.zeros((n, NP_), jnp.int32)
     for g in range(groups):
         mask4 = mask4 | (vis_g[:, g].astype(jnp.int32) << g)
-    maskk = jnp.take_along_axis(mask4, picked, axis=1)
+    maskk = jnp.take_along_axis(mask4, entries[:, :k] & 0xFFFF, axis=1)
     if k < mv_cap:
         maskk = jnp.concatenate(
             [maskk, jnp.zeros((n, mv_cap - k), jnp.int32)], axis=-1)
@@ -310,19 +309,29 @@ def _visibility(o, d, tile, block_min, block_max,
     omin, omax = ot.min(1), ot.max(1)
     dmin, dmax = dt.min(1), dt.max(1)
     INF = jnp.float32(jnp.inf)
-    lo_i = block_min[None, :, :] - omax[:, None, :]
-    hi_i = block_max[None, :, :] - omin[:, None, :]
-    dn = dmin[:, None, :]
-    dx = dmax[:, None, :]
-    cands = jnp.stack([_safe_div(lo_i, dn), _safe_div(lo_i, dx),
-                       _safe_div(hi_i, dn), _safe_div(hi_i, dx)], axis=0)
-    tmin_ax = jnp.min(cands, axis=0)
-    tmax_ax = jnp.max(cands, axis=0)
-    spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo_i <= 0.0) & (hi_i >= 0.0))
-    tmin_ax = jnp.where(spans, 0.0, jnp.maximum(tmin_ax, 0.0))
-    tmax_ax = jnp.where(spans, INF, tmax_ax)
-    t_lo = jnp.max(tmin_ax, axis=-1)
-    t_hi = jnp.min(tmax_ax, axis=-1)
+    # processed PER AXIS with [n, NB] running intervals: the axis-stacked
+    # form materializes [4, n, NB, 3] f32 intermediates — at 8100 tiles x
+    # 2171 blocks (bunny 1080p, 16px tiles) that is ~850 MB of HBM traffic
+    # per temporary and the cull measured 47 ms/frame; the streamed form
+    # keeps temporaries 12x smaller (identical math, bit-identical masks)
+    t_lo = None
+    t_hi = None
+    for ax in range(3):
+        lo_i = block_min[None, :, ax] - omax[:, None, ax]      # [n, NB]
+        hi_i = block_max[None, :, ax] - omin[:, None, ax]
+        dn = dmin[:, None, ax]
+        dx = dmax[:, None, ax]
+        c0 = _safe_div(lo_i, dn)
+        c1 = _safe_div(lo_i, dx)
+        c2 = _safe_div(hi_i, dn)
+        c3 = _safe_div(hi_i, dx)
+        tmin_ax = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        tmax_ax = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        spans = ((dn <= 0.0) & (dx >= 0.0)) | ((lo_i <= 0.0) & (hi_i >= 0.0))
+        tmin_ax = jnp.where(spans, 0.0, jnp.maximum(tmin_ax, 0.0))
+        tmax_ax = jnp.where(spans, INF, tmax_ax)
+        t_lo = tmin_ax if t_lo is None else jnp.maximum(t_lo, tmin_ax)
+        t_hi = tmax_ax if t_hi is None else jnp.minimum(t_hi, tmax_ax)
     # t_lo == +inf means the entry time is unbounded (an axis whose direction
     # interval is {0} with a strictly-positive offset interval produces
     # all-inf slab candidates): the block is genuinely unreachable.  Without
@@ -899,14 +908,20 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64):
 
 
 def effective_tile_px(cfg, num_tris: int) -> int:
-    """Pixel tile edge for the tiled path (config.tile_px; 0 = adaptive on
-    scene density).  Dense scenes win from tighter per-tile cull bounds the
-    same way the shadow pass does (complex scene @180: full frame
-    132.5 -> 97.9 ms/frame at 16px; bunny 69k tris regresses 118 -> 131 at
-    16px — its lists are short and the 4x cull/grid overhead dominates)."""
+    """Pixel tile edge for the tiled path (config.tile_px; 0 = adaptive).
+
+    16px tiles give ~4x tighter per-tile cull bounds; their historical
+    cost — 4x the cull work and 4x the DMA descriptors — fell away for
+    VMEM-RESIDENT scenes once the cull's plan construction became one
+    top_k with no gather (47 -> 11.6 ms at 8100 tiles) and the kernel
+    stopped issuing descriptors at all.  Measured: bunny 1080p full frame
+    105.4 (32px) -> 94.1 ms (16px); complex@180 132.5 -> 97.9.  Scenes too
+    big for residency stream windows per tile over DMA, where descriptor
+    issue (~1us each) still dominates -> keep 32px (matches the
+    tiled_t.RES_LIMIT_MB=64 threshold at ~256 B/tri gram footprint)."""
     if cfg.tile_px:
         return cfg.tile_px
-    return 16 if num_tris > 131072 else 32
+    return 16 if num_tris <= 262144 else 32
 
 
 def _shadow_tile(cfg, tile: int, prep) -> int:

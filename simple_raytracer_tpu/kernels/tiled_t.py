@@ -91,6 +91,16 @@ PREPASS_M = float(_os.environ.get("SRT_TILED_PREPASS_M", str(2.0 ** -6)))
 # (flag-vector width now follows the plan width — see tiled_prepass_t)
 
 
+# Resident mode: per-window matmuls instead of one concatenated super-step
+# contraction.  The KW-slice concat materializes a [16, ROWS] copy per
+# super-step; issuing KW smaller contractions straight off the resident
+# lane slices measured bunny-1080p hits 74.3 -> 67.1 ms/frame (WB=2).
+# (WB=1 with 8 splits stays worse, 84.4 — MXU issue overhead + coarser
+# rows-per-break; WB=2/KW=4 is the optimum.)  SRT_TILED_SPLIT_MM=0 restores
+# the single big contraction.
+_SPLIT_MM = _os.environ.get("SRT_TILED_SPLIT_MM", "1") not in ("0", "")
+
+
 def _prepass_on() -> bool:
     # Default OFF: the exact two-pass pipeline measured 161 ms vs the tri
     # tier's 92 on the bench frame (the classification epilogue is
@@ -296,6 +306,29 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
 
     def body(state):
         j, _, best_t, best_i = state
+        if resident and _SPLIT_MM:
+            # per-window matmuls straight off resident slices: no KW-slice
+            # concat (the concat materializes a [16, ROWS] copy per step),
+            # at the cost of KW MXU issues per step
+            row = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_R), 0)
+            nbw = _nb_total(G, BS) - WB
+            RPB = 4 * BS
+            for k in range(KW):
+                s = jnp.clip(start(j * KW + k), 0, nbw)
+                quad_k = _step_quad(G[:, pl.ds(s * RPB, WB * RPB)], Ft, prec)
+                for b in range(WB):
+                    t = _mt_epilogue_t(quad_k, b * 4 * BS, BS, eps)
+                    idv = (s + b) * BS + row
+                    imp = t < best_t
+                    best_t = jnp.where(imp, t, best_t)
+                    best_i = jnp.where(imp, idv, best_i)
+            if _NO_BREAK:
+                return j + 1, jnp.bool_(False), best_t, best_i
+            per_ray = jnp.min(best_t, axis=0, keepdims=True)
+            worst_bits = jnp.max(jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(per_ray, jnp.int32), 16))
+            done = use_list & (worst_bits < bound16((j + 1) * KW))
+            return j + 1, done, best_t, best_i
         if resident:
             Gs = _res_gather(G, start, j, BS, WB, KW)
         else:
@@ -614,44 +647,60 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
         j, found, done = state
         return (j < ns) & ~done
 
+    def _occ_block(quad, base, s, b):
+        det = quad[base:base + BS]
+        u_num = quad[base + BS:base + 2 * BS]
+        v_num = quad[base + 2 * BS:base + 3 * BS]
+        t_num = quad[base + 3 * BS:base + 4 * BS]
+        adet = jnp.abs(det)
+        occ = (adet >= eps) & \
+            (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
+            (v_num * det >= 0.0) & \
+            (jnp.abs(u_num + v_num) <= adet) & \
+            (t_num * det >= 0.0)
+        if not no_max_t:
+            occ = occ & (jnp.abs(t_num) <= adet)
+        # scalar per-block self-object skip (blocks are pure)
+        obj_s = bobj_ref[s + b].astype(jnp.float32)
+        return occ & (obj_s != self_obj)
+
     def body(state):
         j, found, _ = state
-        if resident:
-            Gs = _res_gather(G_in, start, j, BS, WB, KW)
-        else:
-            slot = j % 2 if not _SYNC_DMA else 0
-            if _SYNC_DMA:
-                _win_dma(G_in, gbuf, sem_g, start, 0, j, BS, WB, KW)
-            else:
-                @pl.when(j + 1 < ns)
-                def _():
-                    _win_dma(G_in, gbuf, sem_g, start, (j + 1) % 2, j + 1,
-                             BS, WB, KW)
-            _win_wait(G_in, gbuf, sem_g, start, slot, j, BS, WB, KW)
-            Gs = gbuf[slot]
-        quad = _step_quad(Gs, Ft, prec)                  # [ROWS, TILE_R]
-        occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
         nbw = _nb_total(G_in, BS) - WB
-        for k in range(KW):
-            s = jnp.clip(start(j * KW + k), 0, nbw)     # same clamp as DMA
-            for b in range(WB):
-                base = (k * WB + b) * 4 * BS
-                det = quad[base:base + BS]
-                u_num = quad[base + BS:base + 2 * BS]
-                v_num = quad[base + 2 * BS:base + 3 * BS]
-                t_num = quad[base + 3 * BS:base + 4 * BS]
-                adet = jnp.abs(det)
-                occ = (adet >= eps) & \
-                    (u_num * det >= 0.0) & (jnp.abs(u_num) <= adet) & \
-                    (v_num * det >= 0.0) & \
-                    (jnp.abs(u_num + v_num) <= adet) & \
-                    (t_num * det >= 0.0)
-                if not no_max_t:
-                    occ = occ & (jnp.abs(t_num) <= adet)
-                # scalar per-block self-object skip (blocks are pure)
-                obj_s = bobj_ref[s + b].astype(jnp.float32)
-                occ = occ & (obj_s != self_obj)
-                occ_vec = jnp.maximum(occ_vec, jnp.where(occ, 1.0, 0.0))
+        occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
+        if resident and _SPLIT_MM:
+            # per-window contraction off resident slices (no KW concat —
+            # see _nearest_kernel_t)
+            RPB = 4 * BS
+            for k in range(KW):
+                s = jnp.clip(start(j * KW + k), 0, nbw)
+                quad_k = _step_quad(G_in[:, pl.ds(s * RPB, WB * RPB)], Ft,
+                                    prec)
+                for b in range(WB):
+                    occ = _occ_block(quad_k, b * 4 * BS, s, b)
+                    occ_vec = jnp.maximum(occ_vec,
+                                          jnp.where(occ, 1.0, 0.0))
+        else:
+            if resident:
+                Gs = _res_gather(G_in, start, j, BS, WB, KW)
+            else:
+                slot = j % 2 if not _SYNC_DMA else 0
+                if _SYNC_DMA:
+                    _win_dma(G_in, gbuf, sem_g, start, 0, j, BS, WB, KW)
+                else:
+                    @pl.when(j + 1 < ns)
+                    def _():
+                        _win_dma(G_in, gbuf, sem_g, start, (j + 1) % 2,
+                                 j + 1, BS, WB, KW)
+                _win_wait(G_in, gbuf, sem_g, start, slot, j, BS, WB, KW)
+                Gs = gbuf[slot]
+            quad = _step_quad(Gs, Ft, prec)              # [ROWS, TILE_R]
+            for k in range(KW):
+                s = jnp.clip(start(j * KW + k), 0, nbw)  # same clamp as DMA
+                for b in range(WB):
+                    occ = _occ_block(quad, (k * WB + b) * 4 * BS, s, b)
+                    occ_vec = jnp.maximum(occ_vec,
+                                          jnp.where(occ, 1.0, 0.0))
         occ1 = jnp.max(occ_vec, axis=0, keepdims=True)   # [1, TILE_R]
         found = jnp.maximum(found, occ1)
         return j + 1, found, jnp.min(found) > 0.0
