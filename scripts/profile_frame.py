@@ -48,6 +48,10 @@ perm, inv = tiled.tile_permutation(W, H, cfg.tile_px)
 operm = jnp.asarray(np.asarray(o)[perm])
 dperm = jnp.asarray(np.asarray(d)[perm])
 TILE = cfg.tile_px * cfg.tile_px
+# nearest-pass sub-tile override (config.hit_tile semantics)
+HTILE = int(os.environ.get("SRT_PROF_HTILE", "0")) or TILE
+if HTILE != TILE:
+    cfg = cfg.replace(hit_tile=HTILE)
 MAXV = cfg.cull_maxv
 IMPL = tiled.get_impl(None)          # SRT_TILED_IMPL: paged | sublane
 N = 8
@@ -66,13 +70,13 @@ def timeit(name, fn, *args):
 
 if "cull" in stages:
     def cull_only(prep, o, d, i):
-        plan = IMPL.cull(prep, o + i * 1e-4, d, TILE, MAXV)
+        plan = IMPL.cull(prep, o + i * 1e-4, d, HTILE, MAXV)
         return plan.astype(jnp.float32).sum()
     timeit("cull", cull_only, prep, operm, dperm)
 
 if "hits" in stages:
     def hits_only(prep, o, d, i):
-        t, idx = IMPL.hits(prep, o + i * 1e-4, d, TILE, cfg.mt_eps, MAXV)
+        t, idx = IMPL.hits(prep, o + i * 1e-4, d, HTILE, cfg.mt_eps, MAXV)
         return jnp.where(jnp.isfinite(t), t, 0.0).sum()
     timeit("hits", hits_only, prep, operm, dperm)
 
@@ -80,7 +84,7 @@ if "shade" in stages:
     # shade-only on fixed precomputed hits (gathers + phong + tonemap,
     # flat-normal untextured path as the real config uses)
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
     t0_ = t0_.block_until_ready()
 
     def shade_only(t, idx, i):
@@ -89,11 +93,31 @@ if "shade" in stages:
         return jnp.where(jnp.isfinite(t)[:, None], rad, 0.).sum()
     timeit("shade", shade_only, t0_, idx0_)
 
+if "grec" in stages or "srec" in stages:
+    # shade decomposition: record gather vs shading math
+    t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
+        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
+    t0_ = t0_.block_until_ready()
+    if "grec" in stages:
+        def grec_only(t, idx, i):
+            rec = integ.gather_hit_records(prep.scene, idx + (i - i), cfg)
+            return sum(v.astype(jnp.float32).sum() for v in rec.values())
+        timeit("grec", grec_only, t0_, idx0_)
+    if "srec" in stages:
+        rec0 = jax.jit(lambda idx: integ.gather_hit_records(
+            prep.scene, idx, cfg))(idx0_)
+        rec0 = {k: v.block_until_ready() for k, v in rec0.items()}
+        def srec_only(t, i):
+            rad = integ.shade_records(prep.scene, cfg, rec0, operm, dperm,
+                                      t, light + i * 1e-4, None)
+            return jnp.where(jnp.isfinite(t)[:, None], rad, 0.).sum()
+        timeit("srec", srec_only, t0_)
+
 if "occl" in stages:
     # occlusion pass alone on fixed hit points (the real shadow query the
     # integrator issues: origins on surfaces, repaired misses, S=1)
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
     t0_ = t0_.block_until_ready()
     hitm = jnp.isfinite(t0_)
     point = jnp.where(hitm[:, None], operm + t0_[:, None] * dperm, 0.0)
@@ -113,7 +137,7 @@ if "occl2" in stages:
     # (isfinite mask, point arithmetic, tri_obj gather) — vs "occl" which
     # precomputes them outside the timed loop
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, TILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
     t0_ = t0_.block_until_ready()
     shadow_fn2 = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
                                        cfg.light.shadow_no_max_t, 1,

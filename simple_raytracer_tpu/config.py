@@ -114,6 +114,16 @@ class RenderConfig:
     # clamps).
     tile_px: int = 0
 
+    # Nearest-pass ray-tile size (RAY count, not pixels) for the tiled path.
+    # Like shadow_tile, a value smaller than tile_px^2 re-chunks the
+    # 2D-tile-major primary-ray stream into CONTIGUOUS sub-tiles for the
+    # cull + nearest kernel only (128 = a 16x8-pixel half of a 16px tile):
+    # tighter per-tile bounds -> shorter block lists and a finer early-break
+    # granularity, vs more grid steps and more cull rows.  0 = the full
+    # pixel tile (tile_px^2).  Must divide tile_px^2 and be a multiple of
+    # 128 (the VPU lane width).
+    hit_tile: int = 0
+
     # Shadow-pass ray-tile size (RAY count, not pixels) for the tiled path.
     # Shadow queries originate on surfaces, so their per-tile direction
     # spread is wider than primaries'; a finer tile gives much tighter cull

@@ -96,7 +96,8 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         prep = jax.lax.stop_gradient(prep_or_scene)
         tpx = tiled.effective_tile_px(cfg, prep.scene.verts.shape[0])
         tile = tpx * tpx
-        hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, tile,
+        htile = tiled._hit_tile(cfg, tile)
+        hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, htile,
                                                  cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(
             prep, tiled._shadow_tile(cfg, tile, prep), cfg.mt_eps,

