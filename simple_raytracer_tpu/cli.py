@@ -36,6 +36,15 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gamma", type=float, default=1.1)      # :396
     p.add_argument("--no-tonemap", action="store_true")
     p.add_argument("--leaf-size", type=int, default=8)      # Object.cpp:261
+    p.add_argument("--bvh-split", default="median",
+                   choices=["median", "sah"],
+                   help="median = reference topology; sah = TPU-native")
+    p.add_argument("--tile-px", type=int, default=0,
+                   help="tiled-mode pixel tile edge (0 = adaptive)")
+    p.add_argument("--shadow-tile", type=int, default=0,
+                   help="tiled-mode shadow ray-tile size (0 = adaptive)")
+    p.add_argument("--hit-tile", type=int, default=0,
+                   help="tiled-mode nearest-pass ray-tile (0 = full tile)")
     p.add_argument("--jitter-step", type=float, default=3.0)  # :372-382
     p.add_argument("--shadow-dim", type=float, default=5.0)   # :369
     p.add_argument("--bake-view", action="store_true",
@@ -58,8 +67,11 @@ def _config_from(args):
                               reinhard_offset=args.reinhard,
                               gamma=args.gamma,
                               tonemap_enabled=not args.no_tonemap),
-        bvh=BVHConfig(leaf_size=args.leaf_size),
-        mode=args.mode)
+        bvh=BVHConfig(leaf_size=args.leaf_size, split=args.bvh_split),
+        mode=args.mode,
+        tile_px=args.tile_px,
+        shadow_tile=args.shadow_tile,
+        hit_tile=args.hit_tile)
 
 
 def cmd_render(args) -> int:

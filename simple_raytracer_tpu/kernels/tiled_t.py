@@ -60,6 +60,22 @@ _interpret = _ray_major._interpret
 # Windows per super-step (KW DMA descriptors, one contraction).  ROWS of the
 # Gram operand per step = SUPER_ROWS = KW * WB * 4 * block_size.
 SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
+# Any-hit super-step rows for VMEM-RESIDENT scenes.  The any-hit walk is
+# matmul-ISSUE bound, not FLOP bound (complex@180 ablation: loop+slices
+# 12.6 ms, +matmuls 64.1, +predicate 66.0; DEFAULT 1-pass vs tri 3-pass
+# differ by only 2.3 ms), and its early exit saves ~nothing (no-break
+# 66.6) — so resident occlusion wants the FATTEST possible contraction:
+# one concatenated matmul per super-step (no per-window split) at 8192
+# rows.  Measured complex@180 occlusion: 66.0 (split, 2048) -> 61.5
+# (concat 4096) -> 56.2 (concat 8192) -> 56.9 (16384).  Non-resident
+# scenes keep SUPER_ROWS (the rows size the DMA scratch).
+SUPER_ROWS_AH = int(_os.environ.get("SRT_TILED_SUPER_ROWS_AH", "8192"))
+# Nearest-query super-step rows for VMEM-RESIDENT scenes: the per-window
+# split stays (bunny hits: split 62.2 vs concat 64.2 at 4096), but twice
+# the step rows win — fewer loop iterations and break checks at a still
+# acceptable break granularity (bunny hits 67.2 @2048 -> 62.2 @4096;
+# 8192 regresses to 68.6 — too-coarse front-to-back breaks).
+SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES", "4096"))
 # Window width in cull blocks (the aligned fetch/cull unit).  1 = per-block
 # fetches (tightest culling: ~807 tris/ray on the bench scene vs ~1990 at
 # 128-tri pages, scripts/cull_stats.py — but the most descriptors).  DMA
@@ -99,6 +115,9 @@ PREPASS_M = float(_os.environ.get("SRT_TILED_PREPASS_M", str(2.0 ** -6)))
 # rows-per-break; WB=2/KW=4 is the optimum.)  SRT_TILED_SPLIT_MM=0 restores
 # the single big contraction.
 _SPLIT_MM = _os.environ.get("SRT_TILED_SPLIT_MM", "1") not in ("0", "")
+# Any-hit keeps the CONCATENATED contraction in resident mode (see
+# SUPER_ROWS_AH: issue-bound walk, fatter matmuls win, no break to protect).
+_SPLIT_MM_AH = _os.environ.get("SRT_TILED_SPLIT_MM_AH", "0") not in ("0", "")
 
 
 def _prepass_on() -> bool:
@@ -109,11 +128,13 @@ def _prepass_on() -> bool:
     return _os.environ.get("SRT_TILED_PREPASS", "0") not in ("0", "")
 
 
-def _kw(block: int, wb: int, prec: str = "highest") -> int:
+def _kw(block: int, wb: int, prec: str = "highest", rows: int = None) -> int:
     """Windows per super-step.  The tri tier halves the step (its hi/lo
     operand splits and three partial products put the 2048-row step 52KB
-    over the 16MB scoped-VMEM limit)."""
-    rows = SUPER_ROWS // 2 if prec == "tri" else SUPER_ROWS
+    over the 16MB scoped-VMEM limit).  ``rows`` overrides the SUPER_ROWS
+    base (resident any-hit uses SUPER_ROWS_AH)."""
+    rows = rows or SUPER_ROWS
+    rows = rows // 2 if prec == "tri" else rows
     return max(rows // (4 * block * wb), 1)
 
 
@@ -285,10 +306,9 @@ def _mt_epilogue_t(quad, base, BS, eps):
 
 
 def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
-                      resident: bool, plan_ref, Ft_ref, G, t_ref, idx_ref,
-                      *scratch):
+                      resident: bool, KW: int, plan_ref, Ft_ref, G, t_ref,
+                      idx_ref, *scratch):
     i = pl.program_id(0)
-    KW = _kw(BS, WB, prec)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
@@ -392,8 +412,8 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
 
 
 def _nearest_kernel_g(BS: int, WB: int, eps: float, prec: str,
-                      resident: bool, groups: int, plan_ref, Ft_ref, G,
-                      t_ref, idx_ref, t_acc, i_acc, *scratch):
+                      resident: bool, KW: int, groups: int, plan_ref,
+                      Ft_ref, G, t_ref, idx_ref, t_acc, i_acc, *scratch):
     """Sub-group variant of _nearest_kernel_t: the tile's TILE_R rays are
     split into ``groups`` contiguous lane groups (tile/G each).  Every plan
     entry carries a G-bit sub-group visibility mask
@@ -405,7 +425,6 @@ def _nearest_kernel_g(BS: int, WB: int, eps: float, prec: str,
     kernel (same descriptor count).  Accumulators live in VMEM scratch
     (loop carries cannot be updated under pl.when)."""
     i = pl.program_id(0)
-    KW = _kw(BS, WB, prec)
     cnt, start, use_list, bound16, gmask = _tile_plan_t(plan_ref, i, WB,
                                                         groups)
     ns = (cnt + KW - 1) // KW
@@ -622,15 +641,16 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
 
 
 def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
-                     resident: bool, plan_ref, bobj_ref, Ft_ref, self_ref,
-                     G_in, hit_ref, *scratch):
+                     resident: bool, KW: int, plan_ref, bobj_ref, Ft_ref,
+                     self_ref, G_in, hit_ref, *scratch):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
     no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
     free MT predicate on the numerators; the self-object test is ONE
     scalar compare per block (``bobj_ref`` SMEM, blocks are single-object
-    by construction — accel/prepared.py per-object page padding)."""
+    by construction — accel/prepared.py per-object page padding).  ``KW``
+    comes from the wrapper (resident scenes use the fatter SUPER_ROWS_AH
+    step — the walk is matmul-issue bound and has no break to protect)."""
     i = pl.program_id(0)
-    KW = _kw(BS, WB, prec)
     cnt, start, use_list, _b16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]
@@ -668,14 +688,22 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
         j, found, _ = state
         nbw = _nb_total(G_in, BS) - WB
         occ_vec = jnp.zeros((BS, TILE_R), jnp.float32)
-        if resident and _SPLIT_MM:
+        if resident and _SPLIT_MM_AH:
             # per-window contraction off resident slices (no KW concat —
             # see _nearest_kernel_t)
             RPB = 4 * BS
             for k in range(KW):
                 s = jnp.clip(start(j * KW + k), 0, nbw)
-                quad_k = _step_quad(G_in[:, pl.ds(s * RPB, WB * RPB)], Ft,
-                                    prec)
+                Gw = G_in[:, pl.ds(s * RPB, WB * RPB)]
+                if _ABLATE == "dma":    # measurement only: loop+slice cost
+                    occ_vec = jnp.maximum(
+                        occ_vec, jnp.where(Gw[:1, :TILE_R] > 1e30, 1.0, 0.0))
+                    continue
+                quad_k = _step_quad(Gw, Ft, prec)
+                if _ABLATE == "matmul":  # measurement only: skip predicate
+                    occ_vec = jnp.maximum(
+                        occ_vec, jnp.where(quad_k[:BS] > 1e30, 1.0, 0.0))
+                    continue
                 for b in range(WB):
                     occ = _occ_block(quad_k, b * 4 * BS, s, b)
                     occ_vec = jnp.maximum(occ_vec,
@@ -718,14 +746,14 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
 
 
 def _anyhit_kernel_g(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
-                     resident: bool, groups: int, plan_ref, bobj_ref, Ft_ref,
-                     self_ref, G_in, hit_ref, f_acc, *scratch):
+                     resident: bool, KW: int, groups: int, plan_ref,
+                     bobj_ref, Ft_ref, self_ref, G_in, hit_ref, f_acc,
+                     *scratch):
     """Sub-group variant of _anyhit_kernel_t (see _nearest_kernel_g): each
     256-ray sub-group skips masked-out windows and exits as soon as ITS
     rays are all occluded — one lit ray no longer drags the whole tile
     through the canopy.  DMA and plan stay at tile granularity."""
     i = pl.program_id(0)
-    KW = _kw(BS, WB, prec)
     cnt, start, use_list, _b16, gmask = _tile_plan_t(plan_ref, i, WB, groups)
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]
@@ -832,8 +860,8 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     needs a plan built with the same groups (sub-group masks)."""
     prec = prec or _mode()
     n = Ft.shape[0]
-    KW = _kw(block, wb, prec)
     res = _resident(Gt) if res is None else res
+    KW = _kw(block, wb, prec, rows=SUPER_ROWS_RES if res else None)
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -843,12 +871,12 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
         ]
         if groups > 1:
             kern = functools.partial(_nearest_kernel_g, block, wb, eps,
-                                     prec, res, groups)
+                                     prec, res, KW, groups)
             scratch = [pltpu.VMEM((block, tile), jnp.float32),
                        pltpu.VMEM((block, tile), jnp.int32)] + scratch
         else:
             kern = functools.partial(_nearest_kernel_t, block, wb, eps,
-                                     prec, res)
+                                     prec, res, KW)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nl,),
@@ -965,8 +993,8 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
     plan built with the same groups (sub-group masks)."""
     prec = prec or _mode()
     n = Ft.shape[0]
-    KW = _kw(block, wb, prec)
     res = _resident(Gt) if res is None else res
+    KW = _kw(block, wb, prec, rows=SUPER_ROWS_AH if res else None)
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
@@ -976,11 +1004,11 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
         ]
         if groups > 1:
             kern = functools.partial(_anyhit_kernel_g, block, wb, eps,
-                                     no_max_t, prec, res, groups)
+                                     no_max_t, prec, res, KW, groups)
             scratch = [pltpu.VMEM((1, tile), jnp.float32)] + scratch
         else:
             kern = functools.partial(_anyhit_kernel_t, block, wb, eps,
-                                     no_max_t, prec, res)
+                                     no_max_t, prec, res, KW)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nl,),

@@ -149,3 +149,16 @@ def test_soft_shadow_render_matches_bruteforce():
     img_tl = np.asarray(render(scene, cfg_tl, light))
     diff = np.abs(img_bf.astype(int) - img_tl.astype(int))
     assert (diff <= 1).mean() > 0.999, f"max diff {diff.max()}"
+
+
+def test_hit_tile_subchunks_match_full_tile():
+    """config.hit_tile re-chunks the nearest pass into contiguous sub-tiles
+    of the tile-major stream; the rendered image must be pixel-identical to
+    the full-tile default (same kernel, tighter per-chunk plans)."""
+    scene = _scene()
+    cam = CameraConfig(width=64, height=48)
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+    cfg = default_config().replace(mode="tiled", camera=cam, tile_px=16)
+    img_full = np.asarray(render(scene, cfg, light))
+    img_sub = np.asarray(render(scene, cfg.replace(hit_tile=128), light))
+    assert (img_full == img_sub).all()
