@@ -72,7 +72,7 @@ if "hits" in stages:
         return jnp.where(jnp.isfinite(t), t, 0.0).sum()
     timeit("hits", hits_only, prep, o, d)
 
-_need_hits = {"shade", "occl"} & stages
+_need_hits = {"shade", "occl", "socull"} & stages
 if _need_hits:
     t0_, idx0_ = jax.jit(lambda oo, dd: IMPL.hits(
         prep, oo, dd, TILE, cfg.mt_eps, MAXV))(o, d)
@@ -84,6 +84,19 @@ if "shade" in stages:
                           light + i * 1e-4, None)
         return jnp.where(jnp.isfinite(t)[:, None], rad, 0.).sum()
     timeit("shade", shade_only, t0_, idx0_)
+
+if "socull" in stages:
+    # shadow-pass plan build only (cull_occl on surface-origin rays)
+    STILE0 = int(os.environ.get("SRT_PROF_STILE", str(TILE)))
+    hitm0 = jnp.isfinite(t0_)
+    point0 = jnp.where(hitm0[:, None], o + t0_[:, None] * d, 0.0)
+
+    def socull_only(point, i):
+        dd = (light + i * 1e-4) - point
+        plan = getattr(IMPL, "cull_occl", IMPL.cull)(
+            prep, point, dd, STILE0, MAXV)
+        return plan.astype(jnp.float32).sum()
+    timeit("socull", socull_only, point0)
 
 if "occl" in stages:
     # SRT_PROF_STILE: shadow-pass tile RAY count override (e.g. 256 = one

@@ -118,6 +118,13 @@ _SPLIT_MM = _os.environ.get("SRT_TILED_SPLIT_MM", "1") not in ("0", "")
 # Any-hit keeps the CONCATENATED contraction in resident mode (see
 # SUPER_ROWS_AH: issue-bound walk, fatter matmuls win, no break to protect).
 _SPLIT_MM_AH = _os.environ.get("SRT_TILED_SPLIT_MM_AH", "0") not in ("0", "")
+# Apex-aware (hourglass) shadow culling: shadow rays all pass through the
+# light, so p(t) = (1-t)o + t(o+d) pinches — the two-branch linear test
+# keeps 7x fewer windows per shadow tile than the independent-interval
+# test at equal soundness (tiled._visibility_hourglass,
+# scripts/shadow_cull_stats.py: interval 193.7 windows/tile, hourglass
+# 27.1, per-ray oracle 19.6; 0 needed windows missed).  Density-gated:
+# see _hourglass_for; SRT_HOURGLASS=1/0 forces it.
 
 
 def _prepass_on() -> bool:
@@ -1072,7 +1079,7 @@ def _groups_for_ah(tile: int) -> int:
 
 
 def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
-         groups: int = 1):
+         groups: int = 1, hourglass: bool = False):
     """Plan builder for the sublane kernels.
 
     Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
@@ -1092,10 +1099,10 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
             maxv, prep.block_size, wb * prep.block_size, bobj, excl,
-            plan_w=pw, groups=groups)
+            plan_w=pw, groups=groups, hourglass=hourglass)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
-                                     bobj, excl)
+                                     bobj, excl, hourglass=hourglass)
     # convert the covering block range to aligned window units
     ulo = lo // wb
     ucnt = jnp.where(cnt > 0, -(-(lo + cnt) // wb) - ulo, 0).astype(jnp.int32)
@@ -1137,13 +1144,28 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
+def _hourglass_for(prep) -> bool:
+    """Apex-aware shadow culling pays when shadow lists are LONG (dense
+    scenes): complex@180 occlusion 57.2 -> 14.1 ms; the bunny (short
+    lists, 8100 point tiles) loses ~2.7 ms to the 2x cull arithmetic.
+    Same density threshold as config.shadow_tile.  SRT_HOURGLASS=1/0
+    forces it on/off."""
+    env = _os.environ.get("SRT_HOURGLASS", "")
+    if env:
+        return env not in ("0",)
+    return prep.block_min.shape[0] * prep.block_size > 131072
+
+
 def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
     """Occlusion-query plan: wider windows (WINDOW_BLOCKS_AH) — any-hit has
     no front-to-back break, so fewer DMA descriptors beat tighter lists.
     Grouped (sub-group masks) whenever the tile splits into 256-ray
-    groups; anyhit() derives the same group count from the tile size."""
+    groups; anyhit() derives the same group count from the tile size.
+    Dense scenes use the apex-aware hourglass visibility (shadow rays
+    pass through the light; tiled._visibility_hourglass)."""
     return cull(prep, origin, direction, tile, maxv, excl,
-                wb=WINDOW_BLOCKS_AH, groups=_groups_for_ah(tile))
+                wb=WINDOW_BLOCKS_AH, groups=_groups_for_ah(tile),
+                hourglass=_hourglass_for(prep))
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
