@@ -24,6 +24,58 @@ import sys
 import time
 
 REFERENCE_RAYS_PER_S = 4900.0   # BASELINE.md: complex scene + BVH
+REFERENCE_COMPLEX_MS = 48990.0  # BASELINE.md: 48.99 s/frame, 36-frame sweep
+
+
+def run_complex(frames: int = 12) -> dict:
+    """Head-to-head on the reference's own headline benchmark: the active
+    complex scene (ground cube + bunny + 3 textured trees, 600x400, hard
+    shadows) over a turntable sweep (simple_raytracer.cpp:530-796), rendered
+    device-side with checksum reduction (only [F] floats cross the tunnel).
+    Returns extra fields merged into bench.py's single JSON line."""
+    import jax
+    if os.environ.get("SRT_BENCH_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from simple_raytracer_tpu.config import (default_config, AnimationConfig,
+                                             BVHConfig, CameraConfig)
+    from simple_raytracer_tpu.scene import catalog
+    from simple_raytracer_tpu.render.renderer import (ensure_prepared,
+                                                      render_radiance)
+    from simple_raytracer_tpu.driver.animation import sweep_angles
+
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=600, height=400),
+        bvh=BVHConfig(split="sah"))
+    anim = AnimationConfig(start_deg=0.0, stop_deg=frames * 10.0,
+                           step_deg=10.0)
+    sm, _, light = catalog.CATALOG["complex"]("/root/reference", 0.0,
+                                              bake_view=False)
+    prep = ensure_prepared(sm.build(), cfg)
+    angles = sweep_angles(anim)
+    views = jnp.asarray(np.stack([
+        catalog.orbit_view(a, anim.orbit_radius, anim.camera_y,
+                           anim.pitch_deg, anim.yaw_offset_deg)
+        for a in angles]), jnp.float32)
+    light = jnp.asarray(light, jnp.float32)
+
+    @jax.jit
+    def sweep_sums(prep, Vs, light):
+        def body(V):
+            radiance, hit = render_radiance(prep, cfg, light, view_matrix=V)
+            return jnp.where(hit[..., None], radiance, 0.0).sum()
+        return jax.lax.map(body, Vs)
+
+    np.asarray(sweep_sums(prep, views, light))          # compile + warm
+    t0 = time.time()
+    np.asarray(sweep_sums(prep, views, light))
+    ms = (time.time() - t0) * 1e3 / len(angles)
+    return {
+        "complex_turntable_ms_per_frame": round(ms, 2),
+        "complex_turntable_frames": len(angles),
+        "complex_vs_reference_48990ms": round(REFERENCE_COMPLEX_MS / ms, 1),
+    }
 
 
 def run_once(mode: str, width: int, height: int, frames: int,
@@ -136,6 +188,14 @@ def main():
     if args.single_attempt:
         result = run_once(args.mode or "tiled", args.width or 1920,
                           args.height or 1080, args.frames, args.shadows)
+        if (args.mode or "tiled") == "tiled" and (args.width or 1920) >= 960:
+            # head-to-head on the reference's own benchmark scene, merged
+            # into the same JSON line; never allowed to kill the headline
+            # metric (VERDICT r2 weak #6)
+            try:
+                result.update(run_complex())
+            except Exception as e:             # noqa: BLE001
+                print(f"# run_complex failed: {e!r}", file=sys.stderr)
         print(json.dumps(result))
         return
 

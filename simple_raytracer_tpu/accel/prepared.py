@@ -55,6 +55,18 @@ class PreparedScene:
                               # contiguous descriptor fetches it.  Row 10
                               # carries per-triangle object ids (first
                               # page_tris columns).
+    gram_s: jnp.ndarray       # [ROWS, (NB+pad)*4*block_size] bf16 — the
+                              # K-STACKED twin of gram_t: each Gram row is
+                              # split x = h + m (+ l) into bf16 parts and the
+                              # partial products of a multi-pass f32-emulating
+                              # contraction are laid out ALONG K (pattern in
+                              # pack_blocks_stacked_np), so the whole
+                              # emulation is ONE MXU pass — measured pass
+                              # cost is flat in K up to 128
+                              # (scripts/kdepth_probe.py).  stack_parts=3:
+                              # rows 32, error ~2^-17 ("tri" grade);
+                              # stack_parts=6: rows 64, error ~2^-26
+                              # (f32-grade).
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
@@ -62,12 +74,13 @@ class PreparedScene:
     max_leaf: int = dataclasses.field(default=8)
     depth: int = dataclasses.field(default=0)
     block_size: int = dataclasses.field(default=32)
+    stack_parts: int = dataclasses.field(default=6)     # products in gram_s
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
             "leaf_count", "block_min", "block_max", "block_obj", "gram_t",
-            "gram")
+            "gram", "gram_s")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
-               "depth", "block_size")
+               "depth", "block_size", "stack_parts")
 
     @property
     def num_pages(self) -> int:
@@ -143,6 +156,63 @@ def pack_blocks_np(verts_cart, block_size: int,
     cols = np.zeros((16, (NB + pad_blocks) * 4 * block_size), np.float32)
     cols[:10, :NB * 4 * block_size] = Gr.transpose(1, 0, 2, 3).reshape(
         10, NB * 4 * block_size)
+    return cols
+
+
+# K-stacked product patterns: each (g, f) pair is one partial product of the
+# split x = h + m + l (h = bf16(x), m = bf16(x - h), l = bf16(x - h - m);
+# |m| <~ 2^-8|x|, |l| <~ 2^-16|x|).  Laying the pairs ALONG the contraction
+# axis turns the whole multi-product emulation into ONE MXU matmul — measured
+# pass cost is flat in K up to 128 (scripts/kdepth_probe.py), so this is ~3x
+# (tri) / ~6x (vs HIGHEST) fewer MXU passes at identical products.
+#   3 parts: drops mm/ml/lm/ll terms  -> error ~2^-17 * sum|G||F| (tri grade)
+#   6 parts: drops ml/lm/ll           -> error ~2^-26 * sum|G||F| (f32 grade)
+STACK_PATTERNS = {
+    3: (("h", "h"), ("h", "m"), ("m", "h")),
+    6: (("h", "h"), ("h", "m"), ("m", "h"), ("h", "l"), ("l", "h"),
+        ("m", "m")),
+}
+
+
+def split3_np(x):
+    """f32 -> (h, m, l) bf16 parts with x ~= h + m + l (error ~2^-26|x|)."""
+    import ml_dtypes
+    bf = ml_dtypes.bfloat16
+    h = x.astype(bf)
+    r = x - h.astype(np.float32)
+    m = r.astype(bf)
+    l = (r - m.astype(np.float32)).astype(bf)
+    return h, m, l
+
+
+def pack_blocks_stacked_np(verts_cart, block_size: int, parts: int = 6,
+                           pad_blocks: int = GRAM_T_PAD_BLOCKS):
+    """HOST packer for the K-STACKED bf16 kernel operand (see gram_s).
+
+    Same lane layout as :func:`pack_blocks_np` (block-major det|u|v|t lane
+    groups of ``block_size`` triangles); the ROW axis carries the G-side
+    bf16 split parts of each of the 10 Gram features, one 10-row band per
+    STACK_PATTERNS product, zero-padded to a 16-row (bf16 sublane tile)
+    multiple.  kernels/tiled_t.py pairs it with the matching F-side band
+    stack and contracts the whole emulated-precision product in ONE matmul.
+    """
+    import numpy as np
+    from ..ops.intersect import pack_mt_gram_np
+    v = np.asarray(verts_cart, np.float32)
+    T = v.shape[0]
+    assert T % block_size == 0, (T, block_size)
+    NB = T // block_size
+    G = pack_mt_gram_np(v)                              # [T, 10, 4]
+    Gr = G.reshape(NB, block_size, 10, 4).transpose(2, 0, 3, 1).reshape(
+        10, NB * 4 * block_size)                        # [10, lanes] f32
+    h, m, l = split3_np(Gr)
+    part = {"h": h, "m": m, "l": l}
+    pattern = STACK_PATTERNS[parts]
+    rows = -(-(10 * parts) // 16) * 16
+    lanes = (NB + pad_blocks) * 4 * block_size
+    cols = np.zeros((rows, lanes), h.dtype)
+    for i, (gp, _fp) in enumerate(pattern):
+        cols[10 * i:10 * (i + 1), :NB * 4 * block_size] = part[gp]
     return cols
 
 
@@ -262,6 +332,22 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     gram = pack_pages_np(vc, np.asarray(padded.tri_obj), cfg.bvh.page_tris)
     gram_t = pack_blocks_np(vc, bs)
 
+    # stacked-K operand: 6 parts (f32-grade, 128 B/lane) unless that alone
+    # would push a VMEM-residency-eligible scene out of residency, in which
+    # case 3 parts (tri-grade, 64 B/lane — same bytes as the f32 gram_t).
+    # SRT_STACK_PARTS forces.  (Residency limit mirrors
+    # kernels/tiled_t.RES_LIMIT_MB; read here because prepare time is when
+    # the operand layout is fixed.)
+    import os as _os
+    env_parts = _os.environ.get("SRT_STACK_PARTS", "")
+    if env_parts:
+        parts = int(env_parts)
+    else:
+        lanes = gram_t.shape[1]
+        lim = int(_os.environ.get("SRT_TILED_RESIDENT_MB", "64")) * 2 ** 20
+        parts = 3 if (32 * lanes * 2 <= lim < 64 * lanes * 2) else 6
+    gram_s = pack_blocks_stacked_np(vc, bs, parts)
+
     ps = PreparedScene(
         scene=padded,
         node_min=flat.node_min,
@@ -274,11 +360,13 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         block_obj=block_obj,
         gram_t=gram_t,
         gram=gram,
+        gram_s=gram_s,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),
         num_triangles=int(T),
         max_leaf=int(flat.max_leaf),
         depth=int(flat.depth),
         block_size=int(bs),
+        stack_parts=int(parts),
     )
     return jax.device_put(ps)

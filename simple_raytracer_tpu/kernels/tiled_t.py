@@ -218,27 +218,32 @@ def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW):
             sem_g.at[slot, k]).wait()
 
 
-# Sublane-kernel matmul tier (SRT_MT_PRECISION): "tri" (the default) is a
-# hand-rolled 3-pass bf16 contraction — Mosaic rejects
-# jax.lax.Precision.HIGH inside Pallas, so each f32 operand is split
-# x = hi + lo into two bf16 halves (hi = bf16(x), lo = bf16(x - hi),
-# residual <= ~2^-17 |x|) and the three cross products are summed on the
-# MXU with f32 accumulation, dropping only lo*lo (~2^-18 of the product
-# mass).  Error ~2^-16 * sum|G||F| vs HIGHEST's ~f32-exact at HALF the MXU
-# passes: measured on the bench frame 91.6 vs 133.5 ms/hits with t-match
-# 0.99991 / idx-match 0.99978 against HIGHEST (flips are silhouette ties).
-# Bit-exact-vs-oracle remains available: SRT_MT_PRECISION=highest, or the
-# prepass pipeline (SRT_TILED_PREPASS=1) whose refine pass always runs
-# HIGHEST.  (Plain DEFAULT is unusable here: the Gram product mass dwarfs
-# det, and 2^-8 mass-relative error measured t-match 0.75 / idx 0.92.)
-# In interpret mode (CPU tests) "tri" maps to HIGHEST: the CPU f32 matmul
-# is exact, so hi/lo splitting would only ADD error and break the
+# Sublane-kernel matmul tier (SRT_MT_PRECISION):
+#
+# "stack" (the default) contracts a PREPACKED K-stacked bf16 operand
+# (accel/prepared.py:pack_blocks_stacked_np): every partial product of a
+# split-operand f32 emulation rides its own 10-row band of the contraction
+# axis, so the whole emulation is ONE MXU pass — pass cost is flat in K up
+# to 128 (scripts/kdepth_probe.py: K=16 160us, K=48 130us, K=96 130us per
+# [65536,256] contraction).  prepare() picks 6 products (error ~2^-26 *
+# sum|G||F| — f32 grade) or 3 (~2^-17, "tri" grade) per scene so residency
+# is preserved; prep.stack_parts records the choice.
+#
+# "tri" is the round-2 hand-rolled 3-pass bf16 contraction (split x=hi+lo
+# at runtime, three matmuls) — kept for BlockSet callers with no stacked
+# operand (dist/ring.py shards) and as a measurement baseline.  "highest"
+# runs the f32 operand at Precision.HIGHEST (~6 passes, bit-exact vs the
+# jnp oracle).  Plain DEFAULT is unusable here: the Gram product mass
+# dwarfs det, and 2^-8 mass-relative error measured t-match 0.75/idx 0.92.
+# In interpret mode (CPU tests) stack/tri map to HIGHEST: the CPU f32
+# matmul is exact, so split emulation would only ADD error and break the
 # bit-equality tests vs the paged kernel.
-_MODE = _os.environ.get("SRT_MT_PRECISION", "tri").lower()
+_MODE = _os.environ.get("SRT_MT_PRECISION", "stack").lower()
 
 
 def _mode() -> str:
-    return "highest" if (_MODE == "tri" and _interpret()) else _MODE
+    return "highest" if (_MODE in ("tri", "stack") and _interpret()) \
+        else _MODE
 
 
 def _split_bf16(x):
@@ -247,15 +252,57 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _split3(x):
+    """f32 -> (h, m, l) bf16 with x ~= h + m + l (jnp twin of
+    accel/prepared.py:split3_np).
+
+    The optimization_barrier after each down-cast is LOAD-BEARING: the TPU
+    toolchain runs with --xla_allow_excess_precision=true, which lets XLA
+    elide the f32->bf16->f32 round trip, folding the residual x - f32(h) to
+    ZERO (measured: m was identically 0 under jit on TPU, silently degrading
+    the stacked tier to DEFAULT-grade; Mosaic inside Pallas does not do
+    this, which is why the round-2 in-kernel tri split never hit it)."""
+    h = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    r = x - h.astype(jnp.float32)
+    m = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def ray_tile_features_stacked(o, d, tile: int, parts: int):
+    """Flat rays [R,3] -> (Fs [n_tiles, ROWS, tile] bf16, n_tiles, R): the
+    F-side band stack matching gram_s's product pattern
+    (accel/prepared.py:STACK_PATTERNS) — band i carries the bf16 part
+    pattern[i][1] of the 10 ray features, rows zero-padded to a 16-multiple
+    exactly like the G side, so ONE dot over the stacked rows sums every
+    emulated partial product."""
+    from ..accel.prepared import STACK_PATTERNS
+    F, n, R = _ray_major.ray_tile_features(o, d, tile)   # [n, tile, 16] f32
+    h, m, l = _split3(F[..., :10])
+    part = {"h": h, "m": m, "l": l}
+    Fs = jnp.concatenate([part[fp] for (_gp, fp) in STACK_PATTERNS[parts]],
+                         axis=-1)                        # [n, tile, 10*parts]
+    rows = -(-(10 * parts) // 16) * 16
+    pad = rows - 10 * parts
+    if pad:
+        Fs = jnp.concatenate(
+            [Fs, jnp.zeros(Fs.shape[:2] + (pad,), Fs.dtype)], axis=-1)
+    return Fs.transpose(0, 2, 1), n, R
+
+
 def _step_quad(Gs, Ft, prec: str):
-    """Contract a step's fetched lanes Gs [F_DIM, ROWS] against the tile's
-    ray features in one matmul: [16, ROWS]^T @ [16, TILE_R] -> quad
+    """Contract a step's fetched lanes Gs [ROWS_K, ROWS] against the tile's
+    ray features in one matmul: [K, ROWS]^T @ [K, TILE_R] -> quad
     [ROWS, TILE_R] (triangles on sublanes — transposed-lhs dot_general,
-    native on Mosaic)."""
+    native on Mosaic).  For "stack" both operands are prepacked bf16 band
+    stacks and the single DEFAULT-precision dot IS the emulated-precision
+    contraction (see _MODE)."""
     def dot(a, b, p=None):
         return jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=p)
+    if prec == "stack":
+        return dot(Gs, Ft)
     if prec == "tri":
         Gh, Gl = _split_bf16(Gs)
         Fh, Fl = _split_bf16(Ft)
@@ -869,11 +916,12 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     n = Ft.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_RES if res else None)
+    KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16)
 
     def call(Fc, planc):
         nl = Fc.shape[0]
         scratch = [] if res else [
-            pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
+            pltpu.VMEM((2, Gt.shape[0], KW * wb * 4 * block), Gt.dtype),
             pltpu.SemaphoreType.DMA((2, KW)),
         ]
         if groups > 1:
@@ -888,7 +936,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
             num_scalar_prefetch=1,
             grid=(nl,),
             in_specs=[
-                pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
             ],
@@ -1002,11 +1050,12 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
     n = Ft.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_AH if res else None)
+    KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16)
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
         scratch = [] if res else [
-            pltpu.VMEM((2, F_DIM, KW * wb * 4 * block), jnp.float32),
+            pltpu.VMEM((2, Gt.shape[0], KW * wb * 4 * block), Gt.dtype),
             pltpu.SemaphoreType.DMA((2, KW)),
         ]
         if groups > 1:
@@ -1020,7 +1069,7 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
             num_scalar_prefetch=2,
             grid=(nl,),
             in_specs=[
-                pl.BlockSpec((1, F_DIM, tile), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1116,17 +1165,32 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         [aux, jnp.zeros((n, tail), jnp.int32)], axis=-1)
 
 
+def _operands(prep, prec, origin, direction, tile):
+    """(G operand, effective precision, Ft) for the requested tier: "stack"
+    needs the prepacked gram_s — BlockSet shard bundles (dist/ring.py) have
+    none and demote to the runtime-split "tri" path on the f32 gram_t."""
+    gs = getattr(prep, "gram_s", None)
+    if prec == "stack" and gs is not None:
+        Ft, n, R = ray_tile_features_stacked(origin, direction, tile,
+                                             int(prep.stack_parts))
+        return gs, "stack", Ft, n, R
+    if prec == "stack":
+        prec = "tri"
+    Ft, n, R = ray_tile_features_t(origin, direction, tile)
+    return prep.gram_t, prec, Ft, n, R
+
+
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
     """Nearest hit over flat rays.  Returns (t [R], idx [R]).
 
-    Default: single walk at the "tri" 3-pass-bf16 tier (see _MODE).  With
-    the prepass enabled (SRT_TILED_PREPASS=1) this is instead the two-pass
-    ORACLE-EXACT pipeline: DEFAULT-precision classification walks the full
-    plan, then a HIGHEST-precision kernel reruns only the flagged windows —
-    bit-identical to the single-pass HIGHEST walk."""
-    Ft, n, R = ray_tile_features_t(origin, direction, tile)
-    res = _resident(prep.gram_t)
+    Default: single walk at the "stack" one-pass K-stacked tier (see
+    _MODE).  With the prepass enabled (SRT_TILED_PREPASS=1) this is instead
+    the two-pass ORACLE-EXACT pipeline: DEFAULT-precision classification
+    walks the full plan, then a HIGHEST-precision kernel reruns only the
+    flagged windows — bit-identical to the single-pass HIGHEST walk."""
     if _prepass_on() and maxv > 0:
+        Ft, n, R = ray_tile_features_t(origin, direction, tile)
+        res = _resident(prep.gram_t)
         plan = cull(prep, origin, direction, tile, maxv)
         flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
                                 prep.block_size, WINDOW_BLOCKS, eps,
@@ -1136,11 +1200,13 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec="highest", res=res)
     else:
+        G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
+        res = _resident(G)
         groups = _groups_for(tile) if maxv > 0 else 1
         plan = cull(prep, origin, direction, tile, maxv, groups=groups)
-        t, idx = tiled_nearest_t(Ft, plan, prep.gram_t, tile,
+        t, idx = tiled_nearest_t(Ft, plan, G, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
-                                 res=res, groups=groups)
+                                 prec=prec, res=res, groups=groups)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
@@ -1172,15 +1238,15 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
            no_max_t: bool):
     """self_obj2d [n, tile] f32 -> found [n, tile] bool.  ``plan`` must come
     from cull_occl (WINDOW_BLOCKS_AH windows)."""
-    Ft, n, R = ray_tile_features_t(origin, direction, tile)
-    # per-block ids padded to the gram_t block count (pad blocks: -1 never
+    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
+    # per-block ids padded to the gram block count (pad blocks: -1 never
     # matches a real self id; their triangles are degenerate anyway)
-    npad = (prep.gram_t.shape[1] // (4 * prep.block_size)
+    npad = (G.shape[1] // (4 * prep.block_size)
             - prep.block_obj.shape[0])
     bobj = jnp.concatenate(
         [prep.block_obj, jnp.full((npad,), -1, jnp.int32)])
     return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
-                          prep.gram_t, bobj, tile, prep.block_size,
-                          WINDOW_BLOCKS_AH, eps, no_max_t,
-                          res=_resident(prep.gram_t),
+                          G, bobj, tile, prep.block_size,
+                          WINDOW_BLOCKS_AH, eps, no_max_t, prec=prec,
+                          res=_resident(G),
                           groups=_groups_for_ah(tile))

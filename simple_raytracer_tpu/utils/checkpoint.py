@@ -3,9 +3,10 @@
 The reference has none; its only resume-like property is that each animation
 frame's BMP is written eagerly (simple_raytracer.cpp:488-494) — reproduced by
 driver/animation.py's resume=True.  For differentiable workloads this module
-checkpoints optimizer/scene-parameter state with orbax when available, with a
-numpy .npz fallback, atomically (write temp + rename) so a crash never leaves
-a torn checkpoint.
+checkpoints optimizer/scene-parameter state as a numpy .npz, atomically
+(write temp + rename) so a crash never leaves a torn checkpoint.  The format
+is a flat pytree-leaf dump, dependency-free on purpose: checkpoints stay
+loadable on any host with numpy alone (no orbax in this image's hot path).
 """
 
 from __future__ import annotations
