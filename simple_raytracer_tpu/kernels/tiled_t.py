@@ -1165,14 +1165,26 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         [aux, jnp.zeros((n, tail), jnp.int32)], axis=-1)
 
 
-def _operands(prep, prec, origin, direction, tile):
+def _operands(prep, prec, origin, direction, tile, max_parts=None):
     """(G operand, effective precision, Ft) for the requested tier: "stack"
     needs the prepacked gram_s — BlockSet shard bundles (dist/ring.py) have
-    none and demote to the runtime-split "tri" path on the f32 gram_t."""
+    none and demote to the runtime-split "tri" path on the f32 gram_t.
+
+    ``max_parts=3`` caps the emulation at tri grade by SLICING the stacked
+    operand: STACK_PATTERNS[6][:3] == STACK_PATTERNS[3], so rows [:32] of a
+    6-part gram_s paired with a 3-part F stack (whose pad rows 30-31 zero
+    out the band-3 G rows underneath) IS the 3-part contraction — half the
+    bytes per window, still one MXU pass.  The any-hit uses this: its
+    boolean predicate never needed f32 grade (the round-2 default shadow
+    tier was tri), and its cost is byte-bound, not flop-bound."""
     gs = getattr(prep, "gram_s", None)
     if prec == "stack" and gs is not None:
-        Ft, n, R = ray_tile_features_stacked(origin, direction, tile,
-                                             int(prep.stack_parts))
+        parts = int(prep.stack_parts)
+        if max_parts is not None and parts > max_parts:
+            parts = max_parts
+            rows = -(-(10 * parts) // 16) * 16
+            gs = gs[:rows]
+        Ft, n, R = ray_tile_features_stacked(origin, direction, tile, parts)
         return gs, "stack", Ft, n, R
     if prec == "stack":
         prec = "tri"
@@ -1238,7 +1250,8 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
            no_max_t: bool):
     """self_obj2d [n, tile] f32 -> found [n, tile] bool.  ``plan`` must come
     from cull_occl (WINDOW_BLOCKS_AH windows)."""
-    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
+    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile,
+                                  max_parts=3)
     # per-block ids padded to the gram block count (pad blocks: -1 never
     # matches a real self id; their triangles are degenerate anyway)
     npad = (G.shape[1] // (4 * prep.block_size)

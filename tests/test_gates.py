@@ -115,3 +115,15 @@ def test_stack_parts_choice():
     mass = np.abs(fs.astype(np.float32))[None] @ np.abs(
         g6.astype(np.float32))
     assert (err <= 2.0 ** -20 * (mass[0] + 1e-30) + 1e-12).all()
+    # tri-grade SLICE invariant (kernels/tiled_t._operands max_parts=3):
+    # rows [:30] of the 6-part operand ARE the 3-part operand, and a 3-part
+    # F stack zero-pads rows 30-31, so gram_s[:32] x F3 == the full 3-part
+    # contraction
+    g3 = pack_blocks_stacked_np(v, 32, 3, pad_blocks=0)
+    assert np.array_equal(np.asarray(g6[:30]), np.asarray(g3[:30]))
+    assert STACK_PATTERNS[6][:3] == STACK_PATTERNS[3]
+    fs3 = np.concatenate([fpart[fp] for (_g, fp) in STACK_PATTERNS[3]])
+    fs3 = np.concatenate([fs3, np.zeros(2, fs3.dtype)])
+    sliced = fs3.astype(np.float32) @ g6[:32].astype(np.float32)
+    full3 = fs3.astype(np.float32) @ g3.astype(np.float32)
+    assert np.array_equal(sliced, full3)
