@@ -99,7 +99,8 @@ def main():
     eps, maxv = cfg.mt_eps, cfg.cull_maxv
     BS, WB = prep.block_size, tiled_t.WINDOW_BLOCKS
 
-    plan = jax.jit(lambda o, d: tiled_t.cull(prep, o, d, tile, maxv))(o, d)
+    plan = jax.jit(lambda o, d: tiled_t.cull(prep, o, d, tile, maxv,
+                                             apex=True))(o, d)
 
     def nearest_for(prec):
         if prec == "stack":

@@ -65,25 +65,38 @@ def main():
     eps, maxv = cfg.mt_eps, cfg.cull_maxv
     parts = int(prep.stack_parts)
 
+    wbs = tuple(int(w) for w in os.environ.get(
+        "SRT_SWEEP_WB", "2,1").split(","))
+    splits = tuple(int(s) for s in os.environ.get(
+        "SRT_SWEEP_SPLIT", "1").split(","))
+    rows_l = tuple(int(r) for r in os.environ.get(
+        "SRT_SWEEP_ROWS", "4096").split(","))
     if args.what in ("nearest", "all"):
-        for wb in (2, 1):
+        for wb in wbs:
             plan = jax.jit(lambda o, d: tiled_t.cull(
                 prep, o, d, tile, maxv, wb=wb))(o, d)
+            for split in splits:
+                for rows in rows_l:
+                    tiled_t._SPLIT_MM = bool(split)
+                    tiled_t.SUPER_ROWS_RES = rows
+                    tiled_t.tiled_nearest_t.clear_cache()
 
-            @jax.jit
-            def many(o, d, plan, wb=wb):
-                def one(i, acc):
-                    F = tiled_t.ray_tile_features_stacked(
-                        o + i * 1e-6, d, tile, parts)[0]
-                    t, _ = tiled_t.tiled_nearest_t(
-                        F, plan, prep.gram_s, tile, prep.block_size, wb,
-                        eps, prec="stack", res=True)
-                    return acc + jnp.where(jnp.isfinite(t), t, 0.0).sum()
-                return jax.lax.fori_loop(0, N, one, jnp.float32(0))
+                    @jax.jit
+                    def many(o, d, plan, wb=wb):
+                        def one(i, acc):
+                            F = tiled_t.ray_tile_features_stacked(
+                                o + i * 1e-6, d, tile, parts)[0]
+                            t, _ = tiled_t.tiled_nearest_t(
+                                F, plan, prep.gram_s, tile, prep.block_size,
+                                wb, eps, prec="stack", res=True)
+                            return acc + jnp.where(
+                                jnp.isfinite(t), t, 0.0).sum()
+                        return jax.lax.fori_loop(0, N, one, jnp.float32(0))
 
-            timed(many, o, d, plan, iters=N,
-                  tag=f"nearest[stack] wb={wb} "
-                      f"ablate={os.environ.get('SRT_TILED_ABLATE', '-')}")
+                    timed(many, o, d, plan, iters=N,
+                          tag=f"nearest[stack] wb={wb} split={split} "
+                              f"rows={rows} "
+                              f"ablate={os.environ.get('SRT_TILED_ABLATE', '-')}")
 
     if args.what in ("shadow", "all"):
         # real occlusion geometry: shadow rays from the stack hit points

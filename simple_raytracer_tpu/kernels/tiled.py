@@ -168,8 +168,12 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       block_min: jnp.ndarray, block_max: jnp.ndarray,
                       maxv: int, block: int, page_tris: int,
                       block_obj=None, excl=None, plan_w: int = None,
-                      groups: int = 1, hourglass: bool = False):
-    """Page-list culling with range fallback.
+                      groups: int = 1, hourglass: bool = False,
+                      apex: bool = False):
+    """Page-list culling with range fallback.  ``apex``: the rays share ONE
+    origin (primary rays) — visibility is additionally tightened by the
+    projective pixel-space test (:func:`_visibility_px`, measured 7.3x
+    fewer windows/tile on the bench scene).
 
     Conservative visibility is evaluated at fine BLOCK granularity
     (:func:`_visibility`) and reduced to PAGES (``page_tris``/``block``
@@ -198,6 +202,9 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     vis_fn = _visibility_hourglass if hourglass else _visibility
     visible_b, tlo_b, n = vis_fn(o, d, tile, block_min, block_max,
                                  block_obj, excl)
+    if apex:
+        visible_b = visible_b & _visibility_px(o, d, tile, block_min,
+                                               block_max)
     NB = visible_b.shape[1]
     BPP = page_tris // block            # blocks per page (exact: see prepare)
     NP_ = NB // BPP
@@ -416,6 +423,85 @@ def _visibility(o, d, tile, block_min, block_max,
     if block_obj is not None and excl is not None:
         visible = visible & (block_obj[None, :] != excl[:, None])
     return visible, jnp.maximum(t_lo, 0.0), n
+
+
+def _px_frame(d):
+    """Orthonormal (s, v, w) with w ~ the bundle's mean direction: the
+    projection frame for :func:`_visibility_px`.  Any frame works (the test
+    compares projections of the SAME rays and blocks), so robustness beats
+    choice: s is built against the coordinate axis least aligned with w."""
+    w = d.sum(0)
+    nw = jnp.sqrt((w * w).sum())
+    w = jnp.where(nw > 1e-20, w / jnp.maximum(nw, 1e-20),
+                  jnp.array([0.0, 0.0, 1.0], d.dtype))
+    e = (jnp.arange(3) == jnp.argmin(jnp.abs(w))).astype(d.dtype)
+    s = jnp.cross(w, e)
+    s = s / jnp.sqrt((s * s).sum())
+    return s, jnp.cross(w, s), w
+
+
+def _visibility_px(o, d, tile, block_min, block_max):
+    """Projective (pixel-space) conservative (tile, block) visibility for
+    COMMON-APEX ray bundles — primary rays, where every ray of the frame
+    leaves one camera origin.  [n, NB] bool.
+
+    A ray o0 + t*dir intersects a point x iff x - o0 is parallel to dir, so
+    in any frame (s, v, w) with dir·w > 0 the ray's projective coords
+    (dir·s/dir·w, dir·v/dir·w) must fall inside the block AABB's projected
+    rect — the classic rasterizer frustum cull, EXACT per (tile rect, box)
+    for boxes fully in front (the per-axis slab interval test this
+    complements treats the tile's direction box per axis and measured
+    7.3x looser on the bench scene: 18.8 vs 2.59 windows/tile,
+    scripts/pxcull_proto.py; the per-ray oracle union is 1.95).
+
+    Conservative handling: rays with dir·w <= eps (outside the <90 deg
+    projection cone) give their tile an unbounded rect; blocks with any
+    corner at (corner-o0)·w <= eps get an unbounded rect; block rects are
+    expanded by 1e-4*(1+|u|) against f32 projection rounding (<= half a
+    pixel at the reference's focal range, orders tighter than the slack
+    this test removes).  ALWAYS AND-ed with the interval test by callers:
+    the empty/inverted pad-block convention and behind-apex geometry stay
+    culled by the interval side.
+    """
+    o, d, _ = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
+    s, v, w = _px_frame(d)
+    o0 = o[0]
+    BIG = jnp.float32(3.0e38)
+    eps = jnp.float32(1e-12)
+
+    dw = d @ w
+    bad_r = dw <= eps
+    dws = jnp.maximum(dw, eps)
+    ru = (d @ s) / dws
+    rv = (d @ v) / dws
+    ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
+    ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
+    rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
+    rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
+
+    bits = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1) == 1
+    corn = jnp.where(bits[None], block_max[:, None], block_min[:, None])
+    c = corn - o0                                        # [NB, 8, 3]
+    cw = c @ w
+    ok = (cw > eps).all(axis=1)                          # fully in front
+    cws = jnp.maximum(cw, eps)
+    cu = (c @ s) / cws
+    cv = (c @ v) / cws
+
+    def bounds(p):
+        lo, hi = p.min(1), p.max(1)
+        pad_lo = 1e-4 * (1.0 + jnp.abs(lo))
+        pad_hi = 1e-4 * (1.0 + jnp.abs(hi))
+        return (jnp.where(ok, lo - pad_lo, -BIG),
+                jnp.where(ok, hi + pad_hi, BIG))
+
+    bu_lo, bu_hi = bounds(cu)
+    bv_lo, bv_hi = bounds(cv)
+    return ((bu_lo[None] <= ru_hi[:, None]) &
+            (bu_hi[None] >= ru_lo[:, None]) &
+            (bv_lo[None] <= rv_hi[:, None]) &
+            (bv_hi[None] >= rv_lo[:, None]))
 
 
 def _safe_div(a, b):
@@ -923,7 +1009,7 @@ class BlockSet:
 
 
 def _cull(origin, direction, tile, prep, maxv, excl=None,
-          hourglass: bool = False):
+          hourglass: bool = False, apex: bool = False):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
     exact page lists with range fallback; maxv == 0: pure page ranges.
     Scenes beyond the 16-bit page-id space of list entries (> 65536 pages
@@ -940,7 +1026,7 @@ def _cull(origin, direction, tile, prep, maxv, excl=None,
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv,
                                  prep.block_size, pt, bobj, excl,
-                                 plan_w=pw, hourglass=hourglass)
+                                 plan_w=pw, hourglass=hourglass, apex=apex)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max, bobj, excl,
                           hourglass=hourglass)
@@ -956,11 +1042,11 @@ def _cull(origin, direction, tile, prep, maxv, excl=None,
 
 
 def tiled_hits(prep, origin, direction, tile: int, eps: float,
-               maxv: int = 64):
+               maxv: int = 64, apex: bool = False):
     """Nearest hit over flat rays via the tiled kernel.  Returns (t, idx)."""
     Gt = prep.gram            # packed at prepare() time (host numpy)
     F, n, R = ray_tile_features(origin, direction, tile)
-    plan = _cull(origin, direction, tile, prep, maxv)
+    plan = _cull(origin, direction, tile, prep, maxv, apex=apex)
     t, idx = tiled_nearest(F, plan, Gt, tile, prep.page_tris, eps)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
@@ -969,8 +1055,9 @@ def tiled_hits(prep, origin, direction, tile: int, eps: float,
 # front-end below (miss repair, sample folding) is kernel-layout-agnostic and
 # reaches the cull/any-hit backends only through these two functions -------
 
-def cull(prep, origin, direction, tile: int, maxv: int, excl=None):
-    return _cull(origin, direction, tile, prep, maxv, excl)
+def cull(prep, origin, direction, tile: int, maxv: int, excl=None,
+         apex: bool = False):
+    return _cull(origin, direction, tile, prep, maxv, excl, apex=apex)
 
 
 def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
@@ -990,8 +1077,9 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
                         prep.page_tris, eps, no_max_t)
 
 
-def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64):
-    return tiled_hits(prep, origin, direction, tile, eps, maxv)
+def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64,
+         apex: bool = False):
+    return tiled_hits(prep, origin, direction, tile, eps, maxv, apex=apex)
 
 
 def effective_tile_px(cfg, num_tris: int) -> int:
@@ -1187,8 +1275,11 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     tile = tpx * tpx
     impl = get_impl(cfg.tiled_impl)
     htile = _hit_tile(cfg, tile)
+    # primary rays: one camera origin per frame -> the apex (projective
+    # pixel-space) cull applies.  Callers with mixed-origin rays reach the
+    # kernels through impl.hits directly (apex defaults False there).
     t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
-                           cfg.cull_maxv)
+                           cfg.cull_maxv, apex=True)
     stile = _shadow_tile(cfg, tile, prep)
     shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,
                                 cfg.light.shadow_no_max_t,

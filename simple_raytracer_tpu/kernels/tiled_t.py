@@ -389,7 +389,16 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             RPB = 4 * BS
             for k in range(KW):
                 s = jnp.clip(start(j * KW + k), 0, nbw)
+                if _ABLATE == "dma":    # measurement: loop + slices only
+                    best_t = jnp.minimum(
+                        best_t,
+                        G[:BS, pl.ds(s * RPB, TILE_R)].astype(jnp.float32)
+                        + 1e30)
+                    continue
                 quad_k = _step_quad(G[:, pl.ds(s * RPB, WB * RPB)], Ft, prec)
+                if _ABLATE == "matmul":  # measurement: no epilogue
+                    best_t = jnp.minimum(best_t, quad_k[:BS] + 1e30)
+                    continue
                 for b in range(WB):
                     t = _mt_epilogue_t(quad_k, b * 4 * BS, BS, eps)
                     idv = (s + b) * BS + row
@@ -1128,7 +1137,7 @@ def _groups_for_ah(tile: int) -> int:
 
 
 def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
-         groups: int = 1, hourglass: bool = False):
+         groups: int = 1, hourglass: bool = False, apex: bool = False):
     """Plan builder for the sublane kernels.
 
     Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
@@ -1148,7 +1157,7 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
             maxv, prep.block_size, wb * prep.block_size, bobj, excl,
-            plan_w=pw, groups=groups, hourglass=hourglass)
+            plan_w=pw, groups=groups, hourglass=hourglass, apex=apex)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
                                      bobj, excl, hourglass=hourglass)
@@ -1192,18 +1201,21 @@ def _operands(prep, prec, origin, direction, tile, max_parts=None):
     return prep.gram_t, prec, Ft, n, R
 
 
-def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
+def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
+         apex: bool = False):
     """Nearest hit over flat rays.  Returns (t [R], idx [R]).
 
     Default: single walk at the "stack" one-pass K-stacked tier (see
-    _MODE).  With the prepass enabled (SRT_TILED_PREPASS=1) this is instead
-    the two-pass ORACLE-EXACT pipeline: DEFAULT-precision classification
-    walks the full plan, then a HIGHEST-precision kernel reruns only the
-    flagged windows — bit-identical to the single-pass HIGHEST walk."""
+    _MODE).  ``apex``: rays share one origin — enables the projective
+    pixel-space cull (tiled._visibility_px).  With the prepass enabled
+    (SRT_TILED_PREPASS=1) this is instead the two-pass ORACLE-EXACT
+    pipeline: DEFAULT-precision classification walks the full plan, then a
+    HIGHEST-precision kernel reruns only the flagged windows —
+    bit-identical to the single-pass HIGHEST walk."""
     if _prepass_on() and maxv > 0:
         Ft, n, R = ray_tile_features_t(origin, direction, tile)
         res = _resident(prep.gram_t)
-        plan = cull(prep, origin, direction, tile, maxv)
+        plan = cull(prep, origin, direction, tile, maxv, apex=apex)
         flags = tiled_prepass_t(Ft, plan, prep.gram_t, tile,
                                 prep.block_size, WINDOW_BLOCKS, eps,
                                 res=res)
@@ -1215,7 +1227,8 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248):
         G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
         res = _resident(G)
         groups = _groups_for(tile) if maxv > 0 else 1
-        plan = cull(prep, origin, direction, tile, maxv, groups=groups)
+        plan = cull(prep, origin, direction, tile, maxv, groups=groups,
+                    apex=apex)
         t, idx = tiled_nearest_t(Ft, plan, G, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec=prec, res=res, groups=groups)
