@@ -76,6 +76,12 @@ def main():
                                       jnp.asarray(bmin), jnp.asarray(bmax))
     vis_i = np.asarray(vis_i)
 
+    # production px visibility (projective frame derived from the rays)
+    vp_prod, _, _ = tiled._visibility_px(jnp.asarray(o), jnp.asarray(d),
+                                         tile, jnp.asarray(bmin),
+                                         jnp.asarray(bmax))
+    vp_prod = np.asarray(vp_prod)
+
     # pixel-space: project block AABBs once (camera frame: d = (u, v, focal))
     corners = np.stack([np.where(
         np.array([(k >> a) & 1 for a in range(3)], bool), bmax[i], bmin[i])
@@ -133,6 +139,11 @@ def main():
     wstat(vis_i, "interval")
     wstat(vis_p, "px")
     wstat(vis_b, "both")
+    wstat(vp_prod, "px-prod")
+    # soundness vs the per-ray oracle on the sampled tiles
+    miss = (per_ray & ~vp_prod[samp]).sum()
+    print(f"px-prod misses {miss} needed (tile, block) pairs "
+          f"of {per_ray.sum()}")
     wstat(per_ray, "union*")
     print(f"(*union = per-ray slab oracle ORed over each of {len(samp)} "
           f"sampled tiles; same wb aggregation)")

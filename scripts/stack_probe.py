@@ -41,6 +41,8 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--scene", default="bunny")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile_px override (0 = adaptive)")
     args = p.parse_args()
     N = args.frames
 
@@ -76,7 +78,7 @@ def main():
         focal = 6000.0 * args.height / 1080.0
     scene = sm.build()
     cfg = default_config().replace(
-        mode="tiled",
+        mode="tiled", tile_px=args.tile,
         camera=CameraConfig(width=args.width, height=args.height, focal=focal),
         light=LightConfig(enable_shadows=True),
         bvh=BVHConfig(split="sah"))
@@ -167,10 +169,12 @@ def main():
     hitm = jnp.isfinite(tflat)
     point = jnp.where(hitm[:, None], o + tflat[:, None] * d, 0.0)
     self_obj = prep.scene.tri_obj[jnp.maximum(i0v.reshape(-1), 0)]
-    stile = tiled._shadow_tile(cfg, tile, prep)
     for prec in ("stack", "tri"):
         os.environ["SRT_MT_PRECISION"] = prec
         tiled_t._MODE = prec
+        # inside the loop: _shadow_tile caps non-stack tiers at 1024 rays
+        # (tri/highest register spills at 4096 — see tiled._shadow_tile)
+        stile = tiled._shadow_tile(cfg, tile, prep)
         shadow = tiled.tiled_shadow_fn(prep, stile, eps, maxv,
                                        cfg.light.shadow_no_max_t,
                                        impl=tiled_t)

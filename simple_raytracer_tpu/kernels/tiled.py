@@ -169,11 +169,16 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       maxv: int, block: int, page_tris: int,
                       block_obj=None, excl=None, plan_w: int = None,
                       groups: int = 1, hourglass: bool = False,
-                      apex: bool = False):
+                      apex: bool = False, apex_rev: bool = False):
     """Page-list culling with range fallback.  ``apex``: the rays share ONE
     origin (primary rays) — visibility is additionally tightened by the
     projective pixel-space test (:func:`_visibility_px`, measured 7.3x
-    fewer windows/tile on the bench scene).
+    fewer windows/tile on the bench scene).  ``apex_rev``: the rays all
+    END at one point (hard-shadow rays: o + d is the light for every ray)
+    — same projective test from the LIGHT as apex, as the union of the
+    two cones through it (toward the points, and beyond the light: the
+    reference's shadow test has no max-t clipping, so occluders past the
+    light still count — simple_raytracer.cpp:321-342).
 
     Conservative visibility is evaluated at fine BLOCK granularity
     (:func:`_visibility`) and reduced to PAGES (``page_tris``/``block``
@@ -199,12 +204,40 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     ray belongs to exactly one sub-group and the per-sub-group interval
     test is conservative for its rays.
     """
-    vis_fn = _visibility_hourglass if hourglass else _visibility
+    # "and" (default): px refines the interval test.  "only": px REPLACES
+    # it — the plans are equivalent (cnt 2.67 vs 2.59 on the bench frame,
+    # same use_list/bounds) and the isolated cull is ~6 ms cheaper, but
+    # the full-frame XLA schedule degrades 39 -> 145 ms/frame with the
+    # interval ops absent (reproduced 4x; plan bytes near-identical, so
+    # it is a scheduling pathology around the pallas calls, not data).
+    # Kept as a measurement knob until that is understood.
+    _PX_MODE = _os.environ.get("SRT_PX_MODE", "and")
+    if apex and _PX_MODE == "only":
+        vis_fn = _visibility_px
+    elif hourglass:
+        vis_fn = _visibility_hourglass
+    else:
+        vis_fn = _visibility
     visible_b, tlo_b, n = vis_fn(o, d, tile, block_min, block_max,
                                  block_obj, excl)
-    if apex:
+    if apex and _PX_MODE == "and":
         visible_b = visible_b & _visibility_px(o, d, tile, block_min,
-                                               block_max)
+                                               block_max)[0]
+    if apex_rev:
+        # REFINEMENT only: the sign-free line test cannot exclude blocks
+        # BEHIND the shadow-ray origins (t < 0 on the line through the
+        # light — e.g. the occluder mesh itself for points on it), so the
+        # interval/hourglass test above keeps the t >= 0 bound and px_rev
+        # adds the angular tightening around the light.
+        visible_b = visible_b & _visibility_px_rev(
+            o, d, tile, block_min, block_max)[0]
+    # LOAD-BEARING barrier: the [n, NB] mask/bound are each consumed by
+    # ~6 downstream reduces (page-any, tlo min, page_cnt, first/last,
+    # sort key); XLA treats the producing compare chains as
+    # cheap-to-recompute and would RE-FUSE them into every consumer —
+    # measured 5x on the occlusion cull (9.5 -> 49.3 ms/frame) when the
+    # px refinement joined the chain.  Materialize once.
+    visible_b, tlo_b = jax.lax.optimization_barrier((visible_b, tlo_b))
     NB = visible_b.shape[1]
     BPP = page_tris // block            # blocks per page (exact: see prepare)
     NP_ = NB // BPP
@@ -440,33 +473,52 @@ def _px_frame(d):
     return s, jnp.cross(w, s), w
 
 
-def _visibility_px(o, d, tile, block_min, block_max):
+def _px_block_corners(block_min, block_max, apex):
+    """Block AABB corners relative to the apex [NB, 8, 3] + the empty mask
+    (the inverted-box convention marks pad/empty blocks)."""
+    bits = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1) == 1
+    corn = jnp.where(bits[None], block_max[:, None], block_min[:, None])
+    empty = (block_min > block_max).any(axis=-1)
+    return corn - apex, empty
+
+
+def _visibility_px(o, d, tile, block_min, block_max,
+                   block_obj=None, excl=None):
     """Projective (pixel-space) conservative (tile, block) visibility for
     COMMON-APEX ray bundles — primary rays, where every ray of the frame
-    leaves one camera origin.  [n, NB] bool.
+    leaves one camera origin.  Returns (visible [n, NB], tlo [n, NB], n) —
+    the same contract as :func:`_visibility`, which it REPLACES for apex
+    tiles (running both doubles the cull's [n, NB] pass cost for nothing:
+    measured px 6.6 ms vs interval 6.3 ms alone, and px & interval == px
+    on the bench scene).
 
-    A ray o0 + t*dir intersects a point x iff x - o0 is parallel to dir, so
-    in any frame (s, v, w) with dir·w > 0 the ray's projective coords
+    A ray o0 + t*dir intersects a point x iff x - o0 is parallel to dir,
+    so in any frame (s, v, w) with dir·w > 0 the ray's projective coords
     (dir·s/dir·w, dir·v/dir·w) must fall inside the block AABB's projected
     rect — the classic rasterizer frustum cull, EXACT per (tile rect, box)
-    for boxes fully in front (the per-axis slab interval test this
-    complements treats the tile's direction box per axis and measured
-    7.3x looser on the bench scene: 18.8 vs 2.59 windows/tile,
-    scripts/pxcull_proto.py; the per-ray oracle union is 1.95).
+    for boxes fully in front (the per-axis slab interval test treats the
+    tile's direction box per axis and measured 7.3x looser on the bench
+    scene: 18.8 vs 2.59 windows/tile, scripts/pxcull_proto.py; the
+    per-ray oracle union is 1.95).
+
+    The entry bound is projective too: every hit satisfies
+    t = ((x-o0)·w)/(dir·w), so t >= min_corners(c·w) / max_tile(dir·w),
+    both strictly positive for in-front blocks and in-cone rays.
 
     Conservative handling: rays with dir·w <= eps (outside the <90 deg
-    projection cone) give their tile an unbounded rect; blocks with any
-    corner at (corner-o0)·w <= eps get an unbounded rect; block rects are
-    expanded by 1e-4*(1+|u|) against f32 projection rounding (<= half a
-    pixel at the reference's focal range, orders tighter than the slack
-    this test removes).  ALWAYS AND-ed with the interval test by callers:
-    the empty/inverted pad-block convention and behind-apex geometry stay
-    culled by the interval side.
+    projection cone) give their tile an unbounded rect and a zero entry
+    bound; blocks with SOME corners behind the apex plane get an unbounded
+    rect; blocks with ALL corners behind it are invisible to in-cone rays
+    (t would be negative) and visible-unbounded to tiles containing
+    out-of-cone rays; empty/inverted (pad) blocks are invisible; ``excl``
+    culls pure self-object blocks exactly like :func:`_visibility`.
+    Block rects are expanded by 1e-4*(1+|u|) against f32 projection
+    rounding (<= half a pixel at the reference's focal range, orders
+    tighter than the slack this test removes).
     """
     o, d, _ = pad_rays(o, d, tile)
     n = o.shape[0] // tile
     s, v, w = _px_frame(d)
-    o0 = o[0]
     BIG = jnp.float32(3.0e38)
     eps = jnp.float32(1e-12)
 
@@ -479,13 +531,85 @@ def _visibility_px(o, d, tile, block_min, block_max):
     ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
     rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
     rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
+    tile_bad = bad_r.reshape(n, tile).any(1)
+    dw_hi = jnp.where(bad_r, 0.0, dw).reshape(n, tile).max(1)
 
-    bits = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1) == 1
-    corn = jnp.where(bits[None], block_max[:, None], block_min[:, None])
-    c = corn - o0                                        # [NB, 8, 3]
+    c, empty = _px_block_corners(block_min, block_max, o[0])
     cw = c @ w
-    ok = (cw > eps).all(axis=1)                          # fully in front
+    front = (cw > eps).all(axis=1)                       # fully in front
+    behind = (cw <= eps).all(axis=1)
     cws = jnp.maximum(cw, eps)
+    cu = (c @ s) / cws
+    cv = (c @ v) / cws
+
+    def bounds(p):
+        lo, hi = p.min(1), p.max(1)
+        pad_lo = 1e-4 * (1.0 + jnp.abs(lo))
+        pad_hi = 1e-4 * (1.0 + jnp.abs(hi))
+        return (jnp.where(front, lo - pad_lo, -BIG),
+                jnp.where(front, hi + pad_hi, BIG))
+
+    bu_lo, bu_hi = bounds(cu)
+    bv_lo, bv_hi = bounds(cv)
+    visible = ((bu_lo[None] <= ru_hi[:, None]) &
+               (bu_hi[None] >= ru_lo[:, None]) &
+               (bv_lo[None] <= rv_hi[:, None]) &
+               (bv_hi[None] >= rv_lo[:, None]))
+    visible = visible & ~empty[None, :] & \
+        ~(behind[None, :] & ~tile_bad[:, None])
+    if block_obj is not None and excl is not None:
+        visible = visible & (block_obj[None, :] != excl[:, None])
+    # projective entry bound (0 whenever either side is unbounded: a tile
+    # with ANY out-of-cone ray cannot bound t through dw_hi)
+    cw_lo = jnp.where(front, cw.min(axis=1), 0.0)
+    tlo = jnp.maximum(cw_lo[None, :], 0.0) / \
+        jnp.maximum(dw_hi[:, None], eps)
+    tlo = jnp.where(tile_bad[:, None], 0.0, tlo)
+    return visible, tlo, n
+
+
+def _visibility_px_rev(o, d, tile, block_min, block_max,
+                       block_obj=None, excl=None):
+    """Projective LINE-membership visibility for hard-shadow tiles: every
+    ray passes through ONE shared light L = o[i] + d[i].  Returns
+    (visible [n, NB], tlo [n, NB], n) — same contract as
+    :func:`_visibility`, which it REPLACES for shared-light shadow tiles
+    (tlo is all-zero: the any-hit walk has no front-to-back break).
+
+    Under the reference's no-max-t rule (simple_raytracer.cpp:321-342)
+    occluders anywhere along the line through the point and the light
+    count, so the test is on LINES through the apex L.  A line with
+    direction delta has sign-free projective coords u = delta.s/delta.w
+    (flipping delta flips both factors), and a block whose corners are all
+    strictly on ONE side of the apex's w-plane projects to a rect in the
+    same coords — so one rect-overlap test covers the point-side cone,
+    the beyond-the-light cone, and the behind-the-point extension at
+    once.  Blocks straddling the w-plane (they contain directions where
+    the projection degenerates) and rays with |d.w| <= eps are
+    conservatively visible; empty (pad) blocks and ``excl``-pure blocks
+    are culled exactly like :func:`_visibility`.
+    """
+    o, d, _ = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
+    s, v, w = _px_frame(-d)              # frame toward the scene
+    apex = o[0] + d[0]                   # the shared light (contract)
+    BIG = jnp.float32(3.0e38)
+    eps = jnp.float32(1e-12)
+
+    dw = d @ w
+    bad_r = jnp.abs(dw) <= eps
+    dws = jnp.where(bad_r, eps, dw)
+    ru = (d @ s) / dws
+    rv = (d @ v) / dws
+    ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
+    ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
+    rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
+    rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
+
+    c, empty = _px_block_corners(block_min, block_max, apex)
+    cw = c @ w
+    ok = (cw > eps).all(axis=1) | (cw < -eps).all(axis=1)
+    cws = jnp.where(jnp.abs(cw) > eps, cw, eps)
     cu = (c @ s) / cws
     cv = (c @ v) / cws
 
@@ -498,10 +622,14 @@ def _visibility_px(o, d, tile, block_min, block_max):
 
     bu_lo, bu_hi = bounds(cu)
     bv_lo, bv_hi = bounds(cv)
-    return ((bu_lo[None] <= ru_hi[:, None]) &
-            (bu_hi[None] >= ru_lo[:, None]) &
-            (bv_lo[None] <= rv_hi[:, None]) &
-            (bv_hi[None] >= rv_lo[:, None]))
+    visible = ((bu_lo[None] <= ru_hi[:, None]) &
+               (bu_hi[None] >= ru_lo[:, None]) &
+               (bv_lo[None] <= rv_hi[:, None]) &
+               (bv_hi[None] >= rv_lo[:, None]))
+    visible = visible & ~empty[None, :]
+    if block_obj is not None and excl is not None:
+        visible = visible & (block_obj[None, :] != excl[:, None])
+    return visible, jnp.zeros(visible.shape, jnp.float32), n
 
 
 def _safe_div(a, b):
@@ -1009,7 +1137,8 @@ class BlockSet:
 
 
 def _cull(origin, direction, tile, prep, maxv, excl=None,
-          hourglass: bool = False, apex: bool = False):
+          hourglass: bool = False, apex: bool = False,
+          apex_rev: bool = False):
     """Unified cull -> plan table [n, PLAN_W] for the kernels.  maxv > 0:
     exact page lists with range fallback; maxv == 0: pure page ranges.
     Scenes beyond the 16-bit page-id space of list entries (> 65536 pages
@@ -1026,7 +1155,8 @@ def _cull(origin, direction, tile, prep, maxv, excl=None,
         return cull_blocks_lists(origin, direction, tile,
                                  prep.block_min, prep.block_max, maxv,
                                  prep.block_size, pt, bobj, excl,
-                                 plan_w=pw, hourglass=hourglass, apex=apex)
+                                 plan_w=pw, hourglass=hourglass, apex=apex,
+                                 apex_rev=apex_rev)
     lo, cnt = cull_blocks(origin, direction, tile,
                           prep.block_min, prep.block_max, bobj, excl,
                           hourglass=hourglass)
@@ -1060,13 +1190,16 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None,
     return _cull(origin, direction, tile, prep, maxv, excl, apex=apex)
 
 
-def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
+def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None,
+              apex_rev: bool = False):
     """Occlusion-query plan: apex-aware hourglass visibility for dense
     scenes (shadow rays pass through the light; see _visibility_hourglass
-    and tiled_t._hourglass_for for the density gate + measurements)."""
+    and tiled_t._hourglass_for for the density gate + measurements) and,
+    when all rays share one light (``apex_rev``), the projective
+    two-cone light-apex cull."""
     from . import tiled_t as _t
     return _cull(origin, direction, tile, prep, maxv, excl,
-                 hourglass=_t._hourglass_for(prep))
+                 hourglass=_t._hourglass_for(prep), apex_rev=apex_rev)
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
@@ -1085,18 +1218,22 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 64,
 def effective_tile_px(cfg, num_tris: int) -> int:
     """Pixel tile edge for the tiled path (config.tile_px; 0 = adaptive).
 
-    16px tiles give ~4x tighter per-tile cull bounds; their historical
-    cost — 4x the cull work and 4x the DMA descriptors — fell away for
-    VMEM-RESIDENT scenes once the cull's plan construction became one
-    top_k with no gather (47 -> 11.6 ms at 8100 tiles) and the kernel
-    stopped issuing descriptors at all.  Measured: bunny 1080p full frame
-    105.4 (32px) -> 94.1 ms (16px); complex@180 132.5 -> 97.9.  Scenes too
-    big for residency stream windows per tile over DMA, where descriptor
-    issue (~1us each) still dominates -> keep 32px (matches the
-    tiled_t.RES_LIMIT_MB=64 threshold at ~256 B/tri gram footprint)."""
+    The projective apex cull (round 3, _visibility_px) flipped the
+    round-2 tradeoff: plans are now so short (~2.7 windows/16px tile on
+    the bench bunny) that the kernel is bound by PER-TILE fixed cost
+    (grid step + while-loop iteration, ~2.2 us each), so BIGGER tiles
+    amortize it and win despite looser union lists.  Measured 1080p
+    bunny (69k tris) full frame: 16px 38.7 / 32px 28.6 / 48px 28.8 /
+    64px 26.2 / 96px 33.6 ms (128px exceeds VMEM: quad scratch).
+    complex@180 (177k tris): 16px 72.8 / 32px 56.5 / 64px 75.4 ms —
+    denser scenes re-grow the union lists faster, so the gate steps
+    down with triangle count.  Round-2 history (16px optimal pre-px):
+    DESIGN.md."""
     if cfg.tile_px:
         return cfg.tile_px
-    return 16 if num_tris <= 262144 else 32
+    if num_tris <= 131072:
+        return 64
+    return 32
 
 
 def _hit_tile(cfg, tile: int) -> int:
@@ -1114,11 +1251,22 @@ def _shadow_tile(cfg, tile: int, prep) -> int:
     """Effective shadow-pass ray-tile size (config.shadow_tile; 0 = adaptive
     on scene density — dense scenes win from tighter shadow cull bounds,
     small scenes lose to the extra cull/grid overhead; measured numbers in
-    config.py)."""
+    config.py).
+
+    Tiles past 1024 rays are allowed only on the one-pass "stack" tier:
+    the tri/highest tiers' runtime operand splits triple the any-hit's
+    live values and the register allocator SPILLS to scoped VMEM
+    (measured: tri at 4096-ray tiles asks 146 MB of the 128 MB budget;
+    stack runs 9.4 ms/frame).  Cap costs the capped tiers ~1.4 ms on the
+    bench bunny — correctness over speed for the non-default tiers."""
     if cfg.shadow_tile:
         return cfg.shadow_tile
     tris = prep.block_min.shape[0] * prep.block_size
-    return 256 if tris > 131072 and tile > 256 else tile
+    stile = 256 if tris > 131072 and tile > 256 else tile
+    from . import tiled_t as _t
+    stacked = getattr(prep, "gram_s", None) is not None and \
+        _t._mode() == "stack"
+    return stile if stacked else min(stile, 1024)
 
 
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
@@ -1134,6 +1282,10 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
     so culling and page DMA are paid once per point tile instead of once per
     (sample, tile).  Sample jitter is +3 units cumulative
     (simple_raytracer.cpp:362-383): the direction union stays tight.
+
+    S == 1 contract: every light row is ONE shared position (the
+    integrator broadcasts the sample) — the plan exploits it with the
+    projective light-apex cull (cull_occl apex_rev).
     """
     import sys
     impl = impl or sys.modules[__name__]
@@ -1185,8 +1337,12 @@ def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
         # object's pure blocks at plan time (see _visibility)
         pure = jnp.all(s2 == s2[:, :1], axis=1)
         excl = jnp.where(pure, s2[:, 0].astype(jnp.int32), -2)
+        # hard shadows (S=1): every ray ends at the same light -> the
+        # projective two-cone light-apex cull applies (see cull_occl).
+        # SRT_PX_REV=0 disables (measurement knob).
         plan = getattr(impl, 'cull_occl', impl.cull)(
-            prep, point, d, tile, maxv, excl)
+            prep, point, d, tile, maxv, excl,
+            apex_rev=_os.environ.get("SRT_PX_REV", "1") not in ("0",))
         if hit is not None:
             plan = jnp.where(any_hit[:, None], plan, 0)   # skip hitless tiles
         found = impl.anyhit(prep, point, d, s2, plan, tile, eps, no_max_t)

@@ -1137,7 +1137,8 @@ def _groups_for_ah(tile: int) -> int:
 
 
 def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
-         groups: int = 1, hourglass: bool = False, apex: bool = False):
+         groups: int = 1, hourglass: bool = False, apex: bool = False,
+         apex_rev: bool = False):
     """Plan builder for the sublane kernels.
 
     Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
@@ -1157,7 +1158,8 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
             maxv, prep.block_size, wb * prep.block_size, bobj, excl,
-            plan_w=pw, groups=groups, hourglass=hourglass, apex=apex)
+            plan_w=pw, groups=groups, hourglass=hourglass, apex=apex,
+            apex_rev=apex_rev)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
                                      bobj, excl, hourglass=hourglass)
@@ -1247,16 +1249,19 @@ def _hourglass_for(prep) -> bool:
     return prep.block_min.shape[0] * prep.block_size > 131072
 
 
-def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None):
+def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None,
+              apex_rev: bool = False):
     """Occlusion-query plan: wider windows (WINDOW_BLOCKS_AH) — any-hit has
     no front-to-back break, so fewer DMA descriptors beat tighter lists.
     Grouped (sub-group masks) whenever the tile splits into 256-ray
     groups; anyhit() derives the same group count from the tile size.
     Dense scenes use the apex-aware hourglass visibility (shadow rays
-    pass through the light; tiled._visibility_hourglass)."""
+    pass through the light; tiled._visibility_hourglass);
+    ``apex_rev`` (every ray ends at ONE shared light — the hard-shadow
+    path's contract) adds the projective two-cone light-apex cull."""
     return cull(prep, origin, direction, tile, maxv, excl,
                 wb=WINDOW_BLOCKS_AH, groups=_groups_for_ah(tile),
-                hourglass=_hourglass_for(prep))
+                hourglass=_hourglass_for(prep), apex_rev=apex_rev)
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,

@@ -29,17 +29,19 @@ COMPLEX = 177_000       # reference headline scene (trees + bunny + ground)
 
 
 def test_tile_px_gate():
-    """16px tiles for scenes up to the bunny class (tighter cull bounds,
-    measured 105.4 -> 94.1 ms); 32px beyond the residency-class threshold
-    where window DMA descriptor issue dominates (kernels/tiled.py)."""
+    """Round-3 ladder (projective apex cull makes the kernel per-tile-
+    fixed-cost bound): 64px tiles for bunny-class scenes (26.2 vs 16px's
+    38.7 ms), 32px for denser scenes (complex 56.5 vs 64px's 75.4) —
+    measurements in kernels/tiled.py:effective_tile_px."""
     cfg = default_config()
     assert cfg.tile_px == 0                       # adaptive is the default
-    assert tiled.effective_tile_px(cfg, BUNNY) == 16
-    assert tiled.effective_tile_px(cfg, COMPLEX) == 16
-    assert tiled.effective_tile_px(cfg, 262_144) == 16    # boundary
-    assert tiled.effective_tile_px(cfg, 262_145) == 32
+    assert tiled.effective_tile_px(cfg, BUNNY) == 64
+    assert tiled.effective_tile_px(cfg, 131_072) == 64    # boundary
+    assert tiled.effective_tile_px(cfg, 131_073) == 32
+    assert tiled.effective_tile_px(cfg, COMPLEX) == 32
+    assert tiled.effective_tile_px(cfg, 1 << 20) == 32
     # explicit override wins
-    assert tiled.effective_tile_px(cfg.replace(tile_px=32), BUNNY) == 32
+    assert tiled.effective_tile_px(cfg.replace(tile_px=16), BUNNY) == 16
 
 
 def test_shadow_tile_gate():
