@@ -97,12 +97,17 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         tpx = tiled.effective_tile_px(cfg, prep.scene.verts.shape[0])
         tile = tpx * tpx
         htile = tiled._hit_tile(cfg, tile)
-        hit_fn = lambda oo, dd: tiled.tiled_hits(prep, oo, dd, htile,
-                                                 cfg.mt_eps, cfg.cull_maxv)
+        # the PRODUCTION kernel impl (sublane/stack by default), same as
+        # render_flat_tiled — the paged module's own kernels are the
+        # measurement baseline and are not tuned for the large-tile gates
+        # (scoped-vmem overflow at 64px tiles)
+        impl = tiled.get_impl(cfg.tiled_impl)
+        hit_fn = lambda oo, dd: impl.hits(prep, oo, dd, htile,
+                                          cfg.mt_eps, cfg.cull_maxv)
         shadow_fn = tiled.tiled_shadow_fn(
             prep, tiled._shadow_tile(cfg, tile, prep), cfg.mt_eps,
             cfg.cull_maxv, cfg.light.shadow_no_max_t,
-            cfg.light.num_samples) \
+            cfg.light.num_samples, impl=impl) \
             if cfg.light.enable_shadows else None
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")

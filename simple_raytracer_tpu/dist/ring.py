@@ -74,9 +74,13 @@ def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
 
         def local_hit(o, d):
             # the kernel has no VJP: freeze it; ring_nearest_hit restores
-            # differentiability by the fixed-topology recompute afterwards
+            # differentiability by the fixed-topology recompute afterwards.
+            # apex=True: the ring rotates PRIMARY rays (one camera origin
+            # per frame), so the projective pixel-space cull applies to
+            # every shard-local walk.
             t, li = tk.tiled_hits(bs, lax.stop_gradient(o),
-                                  lax.stop_gradient(d), tile, eps, maxv)
+                                  lax.stop_gradient(d), tile, eps, maxv,
+                                  apex=True)
             return lax.stop_gradient(t), li
         return local_hit, True
 

@@ -78,8 +78,20 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
     rematerializes the forward render in the backward pass (jax.checkpoint),
     trading FLOPs for the O(rays x triangles) intersection activations —
     needed when ray batches outgrow HBM.
+
+    ``scene`` may be a plain Scene (bruteforce dense forward) or a
+    PreparedScene — then the configured FAST intersector (cfg.mode bvh /
+    tiled) runs inside the loss via the fixed-topology recompute
+    (diff/render.py), which is what makes flagship-scale (bunny geometry,
+    1080p-class ray counts) training steps feasible: the dense forward is
+    O(rays x triangles).  The prepared operand's packed BVH/Gram arrays
+    are frozen (stop_gradient) and thus STALE w.r.t. in-flight vertex
+    updates — the usual fixed-topology approximation; re-prepare between
+    epochs if vertices move materially.
     """
-    scene = jax.device_put(scene)   # numpy-backed scenes: tracer-safe gathers
+    from ..accel.prepared import PreparedScene
+    prep = scene if isinstance(scene, PreparedScene) else None
+    scene = jax.device_put(scene.scene if prep is not None else scene)
     cam = cfg.camera
     o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
@@ -90,10 +102,19 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
 
     def local_loss(params: DiffParams, oo, dd, tt):
         s, light = apply_params(scene, params)
-        fwd = lambda s, oo, dd, light: render_flat(s, cfg, oo, dd, light)
-        if remat:
-            fwd = jax.checkpoint(fwd, static_argnums=())
-        radiance, hit = fwd(s, oo, dd, light)
+        if prep is not None and cfg.mode in ("bvh", "tiled"):
+            from ..diff.render import render_radiance_diff
+            operand = dataclasses.replace(prep, scene=s)
+            fwd = lambda op, oo, dd, light: render_radiance_diff(
+                op, cfg, light, origin=oo, direction=dd)
+            if remat:
+                fwd = jax.checkpoint(fwd, static_argnums=())
+            radiance, hit = fwd(operand, oo, dd, light)
+        else:
+            fwd = lambda s, oo, dd, light: render_flat(s, cfg, oo, dd, light)
+            if remat:
+                fwd = jax.checkpoint(fwd, static_argnums=())
+            radiance, hit = fwd(s, oo, dd, light)
         pred = jnp.where(hit[:, None], radiance, 0.0)
         return jnp.sum((pred - tt) ** 2)
 
@@ -106,10 +127,13 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
                 # psum here so the scalar loss is replicated; param grads get
                 # the matching psum from AD's transpose rule.
                 return jax.lax.psum(local_loss(params, oo, dd, tt), axis)
+            # check_vma=False: the Pallas interpreter (CPU tests) mixes
+            # varying and unvarying operands in its internal dynamic_slices
+            # (same workaround as dist/sharding.py render_sharded)
             f = jax.shard_map(
                 shard_body, mesh=mesh,
                 in_specs=(P(), P(axis), P(axis), P(axis)),
-                out_specs=P())
+                out_specs=P(), check_vma=False)
             return f(params, o, d, target.reshape(-1, 3)) / R
 
     if optimizer is not None:

@@ -111,6 +111,14 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     tex_id = record["tex_id"]
     has_atlas = scene.has_textures                     # static flag
 
+    # miss rays carry t = +inf; an inf FORWARD value poisons every gradient
+    # that flows through its chain (inf * 0 = NaN in the VJP) even though
+    # the shaded value is discarded by the hit mask downstream — pin t to 0
+    # for misses (their radiance is garbage either way; hit gating below
+    # keys off the ORIGINAL t)
+    hit_mask = jnp.isfinite(t)
+    t = jnp.where(hit_mask, t, 0.0)
+
     point = origin + t[..., None] * direction          # :156, :351
 
     bary = None
@@ -169,11 +177,9 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     if shadow_fn is not None and lcfg.enable_shadows:
         # ONE batched occlusion query for all S light samples (S separate
         # launches would re-cull and re-walk the scene per sample).
-        # Miss rays have point = o + inf*d; their shade is discarded, but an
-        # inf origin would poison tile-level cull bounds in the Pallas
-        # backend (one miss ray could disable shadows for its whole tile) —
-        # pin them to the origin instead.
-        hit_mask = jnp.isfinite(t)
+        # Miss rays shade at the camera origin (t pinned above); pin their
+        # occlusion-query origin to 0 so the Pallas backend's tile-level
+        # cull bounds see the hit mask, not stray camera points.
         point_safe = jnp.where(hit_mask[..., None], point, 0.0)
         pts = jnp.broadcast_to(point_safe[None], (S, R, 3)).reshape(S * R, 3)
         lps = jnp.broadcast_to(samples[:, None, :], (S, R, 3)).reshape(S * R, 3)
