@@ -74,7 +74,7 @@ def main():
     if args.what in ("nearest", "all"):
         for wb in wbs:
             plan = jax.jit(lambda o, d: tiled_t.cull(
-                prep, o, d, tile, maxv, wb=wb))(o, d)
+                prep, o, d, tile, maxv, wb=wb, apex=True))(o, d)
             for split in splits:
                 for rows in rows_l:
                     tiled_t._SPLIT_MM = bool(split)

@@ -61,21 +61,20 @@ _interpret = _ray_major._interpret
 # Gram operand per step = SUPER_ROWS = KW * WB * 4 * block_size.
 SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
 # Any-hit super-step rows for VMEM-RESIDENT scenes.  The any-hit walk is
-# matmul-ISSUE bound, not FLOP bound (complex@180 ablation: loop+slices
-# 12.6 ms, +matmuls 64.1, +predicate 66.0; DEFAULT 1-pass vs tri 3-pass
-# differ by only 2.3 ms), and its early exit saves ~nothing (no-break
-# 66.6) — so resident occlusion wants the FATTEST possible contraction:
-# one concatenated matmul per super-step (no per-window split) at 8192
-# rows.  Measured complex@180 occlusion: 66.0 (split, 2048) -> 61.5
-# (concat 4096) -> 56.2 (concat 8192) -> 56.9 (16384).  Non-resident
-# scenes keep SUPER_ROWS (the rows size the DMA scratch).
-SUPER_ROWS_AH = int(_os.environ.get("SRT_TILED_SUPER_ROWS_AH", "8192"))
+# matmul-ISSUE bound, not FLOP bound (complex@180 round-2 ablation:
+# loop+slices 12.6 ms, +matmuls 64.1, +predicate 66.0), so round 2 tuned
+# the FATTEST contraction (8192: complex occlusion 66.0 @2048-split ->
+# 56.2).  The round-3 projective shadow plans flipped it back: lists are
+# short enough that step padding dominates — 2048 wins on BOTH scenes
+# (bunny frame 24.7 vs 24.9 @4096; complex frame 52.1 vs 55.2 @8192).
+SUPER_ROWS_AH = int(_os.environ.get("SRT_TILED_SUPER_ROWS_AH", "2048"))
 # Nearest-query super-step rows for VMEM-RESIDENT scenes: the per-window
-# split stays (bunny hits: split 62.2 vs concat 64.2 at 4096), but twice
-# the step rows win — fewer loop iterations and break checks at a still
-# acceptable break granularity (bunny hits 67.2 @2048 -> 62.2 @4096;
-# 8192 regresses to 68.6 — too-coarse front-to-back breaks).
-SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES", "4096"))
+# split stays (bunny hits: split 62.2 vs concat 64.2 at 4096).  Round-2
+# tuning picked 4096 (fewer loop iterations at interval-cull list
+# lengths); with the round-3 projective plans (~2.7 windows/16px tile,
+# ~10/64px) 2048 wins at BOTH tile gates: 64px nearest 19.8 @2048 vs
+# 21.4 @4096 / 26.4 @8192; 16px 34.1 vs 34.7 (scripts/stack_sweep.py).
+SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES", "2048"))
 # Window width in cull blocks (the aligned fetch/cull unit).  1 = per-block
 # fetches (tightest culling: ~807 tris/ray on the bench scene vs ~1990 at
 # 128-tri pages, scripts/cull_stats.py — but the most descriptors).  DMA
