@@ -67,6 +67,18 @@ class PreparedScene:
                               # rows 32, error ~2^-17 ("tri" grade);
                               # stack_parts=6: rows 64, error ~2^-26
                               # (f32-grade).
+    attr_t: jnp.ndarray = None  # [16, (NB+pad)*4*block_size] bf16 — per-
+                              # triangle SHADE attributes (flat normal xyz +
+                              # object id), each f32 split into THREE bf16
+                              # limbs (8+8+8 mantissa bits = the full f32
+                              # mantissa, pack_attr_stacked_np) laid out in
+                              # the det lane group of the gram lane layout.
+                              # The nearest kernel one-hot-contracts the
+                              # winner's limbs on the MXU (EXACT: one
+                              # nonzero product per ray, ordered-magnitude
+                              # f32 limb adds), replacing the ~10 ms/frame
+                              # [R, K] XLA record gather.  Packed only for
+                              # flat-untextured configs (has_attr).
     # --- static (aux) ---
     num_nodes: int = dataclasses.field(default=0)
     num_blocks: int = dataclasses.field(default=0)
@@ -75,12 +87,13 @@ class PreparedScene:
     depth: int = dataclasses.field(default=0)
     block_size: int = dataclasses.field(default=32)
     stack_parts: int = dataclasses.field(default=6)     # products in gram_s
+    has_attr: bool = dataclasses.field(default=False)   # attr_t is real
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
             "leaf_count", "block_min", "block_max", "block_obj", "gram_t",
-            "gram", "gram_s")
+            "gram", "gram_s", "attr_t")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
-               "depth", "block_size", "stack_parts")
+               "depth", "block_size", "stack_parts", "has_attr")
 
     @property
     def num_pages(self) -> int:
@@ -216,6 +229,44 @@ def pack_blocks_stacked_np(verts_cart, block_size: int, parts: int = 6,
     return cols
 
 
+# Shade-attribute transport rows (attr_t): limb l of attribute a rides row
+# l * ATTR_N + a; attributes are (nx, ny, nz, obj_id).
+ATTR_N = 4
+ATTR_ROWS = 16                  # 3 limbs x 4 attrs = 12, padded to sublanes
+
+
+def pack_attr_stacked_np(tri_normal, tri_obj, block_size: int,
+                         pad_blocks: int = GRAM_T_PAD_BLOCKS):
+    """HOST packer for the kernel shade-attribute operand (see attr_t).
+
+    Each f32 attribute splits into three bf16 limbs h/m/l (8 mantissa bits
+    each; h+m: the residual of round-to-nearest is exactly representable,
+    so the three limbs carry the entire 24-bit f32 mantissa and
+    h + m + l == x EXACTLY in f32 order-of-magnitude addition).  Values
+    sit in the det lane group of the gram lane layout (lane
+    b*4*BS + 0*BS + t), zeros elsewhere, so the kernel's existing window
+    lane slicing fetches them."""
+    import numpy as np
+    n = np.asarray(tri_normal, np.float32)               # [T, 3]
+    o = np.asarray(tri_obj, np.float32)[:, None]         # [T, 1]
+    x = np.concatenate([n, o], axis=1)                   # [T, ATTR_N]
+    T = x.shape[0]
+    assert T % block_size == 0, (T, block_size)
+    NB = T // block_size
+    h, m, l = split3_np(x)                               # bf16 limbs
+    lanes = (NB + pad_blocks) * 4 * block_size
+    cols = np.zeros((ATTR_ROWS, lanes), h.dtype)
+    for li, part in enumerate((h, m, l)):
+        # [T, ATTR_N] -> det lanes of each block
+        pv = part.reshape(NB, block_size, ATTR_N)
+        for a in range(ATTR_N):
+            row = li * ATTR_N + a
+            cols[row, :NB * 4 * block_size] = np.pad(
+                pv[:, :, a][:, None, :], ((0, 0), (0, 3), (0, 0))
+            ).reshape(-1)
+    return cols
+
+
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     """Build per-object BVHs (reference topology), chain them into one global
     stackless array, reorder+pad the scene, and compute triangle blocks."""
@@ -348,6 +399,17 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         parts = 3 if (32 * lanes * 2 <= lim < 64 * lanes * 2) else 6
     gram_s = pack_blocks_stacked_np(vc, bs, parts)
 
+    # shade-attribute operand: only for configs the in-kernel fetch can
+    # serve (flat normals, no texture atlas — smooth/textured scenes need
+    # 9-24 more columns and keep the XLA record gather)
+    has_attr = (not bool(padded.has_textures)
+                and not bool(cfg.shading.smooth_normals))
+    if has_attr:
+        attr_t = pack_attr_stacked_np(np.asarray(padded.tri_normal),
+                                      np.asarray(padded.tri_obj), bs)
+    else:
+        attr_t = np.zeros((1, 128), np.float32).astype(gram_s.dtype)
+
     ps = PreparedScene(
         scene=padded,
         node_min=flat.node_min,
@@ -361,6 +423,8 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         gram_t=gram_t,
         gram=gram,
         gram_s=gram_s,
+        attr_t=attr_t,
+        has_attr=has_attr,
         num_nodes=int(len(flat.skip)),
         num_blocks=int(nb),
         num_triangles=int(T),

@@ -1434,13 +1434,35 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     # primary rays: one camera origin per frame -> the apex (projective
     # pixel-space) cull applies.  Callers with mixed-origin rays reach the
     # kernels through impl.hits directly (apex defaults False there).
-    t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
-                           cfg.cull_maxv, apex=True)
+    record = None
+    from . import tiled_t as _t
+    # In-kernel one-hot shade-attribute fetch (exact limb transport,
+    # _t.hits_attrs) — a MEASURED NEGATIVE as the default: standalone the
+    # [R, K] record gather costs ~10 ms and the fetch loop ~4.5, but
+    # in-frame XLA overlaps the gather almost entirely and the fetch adds
+    # real kernel time (A/B same-process: 29.0 vs 27.1 ms/frame, bunny
+    # 1080p).  Kept env-gated (SRT_ATTR_FETCH=1) — it is bit-exact
+    # (tested) and the right building block if the shade stage ever stops
+    # overlapping (e.g. fused in-kernel Phong).
+    fetch_ok = (getattr(prep, "has_attr", False) and impl is _t
+                and not _t._prepass_on() and cfg.cull_maxv > 0
+                and _t._groups_for(htile) == 1
+                and _t._resident(_t._hit_operand(prep))
+                and _os.environ.get("SRT_ATTR_FETCH", "0") not in ("0",))
+    if fetch_ok:
+        t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
+                                          cfg.mt_eps, cfg.cull_maxv,
+                                          apex=True)
+        record = integrator.records_from_attrs(prep.scene, attrs)
+    else:
+        t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
+                               cfg.cull_maxv, apex=True)
     stile = _shadow_tile(cfg, tile, prep)
     shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,
                                 cfg.light.shadow_no_max_t,
                                 cfg.light.num_samples, impl=impl) \
         if cfg.light.enable_shadows else None
     radiance = integrator.shade(prep.scene, cfg, origin, direction, t,
-                                tri_idx, light_pos, shadow_fn)
+                                tri_idx, light_pos, shadow_fn,
+                                record=record)
     return radiance, jnp.isfinite(t)

@@ -359,8 +359,13 @@ def _mt_epilogue_t(quad, base, BS, eps):
 
 
 def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
-                      resident: bool, KW: int, plan_ref, Ft_ref, G, t_ref,
-                      idx_ref, *scratch):
+                      resident: bool, KW: int, fetch: bool, plan_ref,
+                      Ft_ref, G, *rest):
+    if fetch:
+        At, t_ref, idx_ref, attr_ref, *scratch = rest
+    else:
+        At = attr_ref = None
+        t_ref, idx_ref, *scratch = rest
     i = pl.program_id(0)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
@@ -470,7 +475,50 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
     bid = jnp.min(jnp.where(tv == bt, iv, jnp.int32(0x7FFFFFFF)),
                   axis=0, keepdims=True)
     t_ref[0] = bt
-    idx_ref[0] = jnp.where(jnp.isfinite(bt), bid, -1)
+    bidv = jnp.where(jnp.isfinite(bt), bid, -1)
+    idx_ref[0] = bidv
+
+    if fetch:
+        # post-walk shade-attribute fetch: re-walk the (short, projective)
+        # window list once, one-hot the winner against the resident attr
+        # operand on the MXU.  EXACT transport: exactly one nonzero bf16*1
+        # product per ray per limb row, f32-accumulated, and the packed
+        # limbs sum back to the f32 attribute exactly (accel/prepared.py:
+        # pack_attr_stacked_np).  Replaces the ~10 ms/frame [R, K] XLA
+        # record gather for flat-untextured scenes.
+        AR = At.shape[0]
+        RPB = 4 * BS
+        WL = WB * RPB
+        nbw = _nb_total(G, BS) - WB
+        lane = jax.lax.broadcasted_iota(jnp.int32, (WL, TILE_R), 0)
+        det_lane = (lane % RPB) // BS == 0
+        rowl = lane % BS
+        blkl = lane // RPB
+
+        def fcond(st):
+            j, acc = st
+            return j < ns
+
+        def fbody(st):
+            j, acc = st
+            for k in range(KW):
+                jk = j * KW + k
+                s = jnp.clip(start(jk), 0, nbw)
+                tri0 = (s + blkl) * BS + rowl
+                # jk < cnt guard: padded steps clamp to a REPEATED window —
+                # idempotent for the min-walk, but the fetch ACCUMULATES
+                oh = (det_lane & (tri0 == bidv) & (jk < cnt)).astype(
+                    jnp.bfloat16)
+                As = At[:, pl.ds(s * RPB, WL)]           # [AR, WL]
+                acc = acc + jax.lax.dot_general(
+                    As, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return j + 1, acc
+
+        _, attrs = jax.lax.while_loop(
+            fcond, fbody, (jnp.int32(0),
+                           jnp.zeros((AR, TILE_R), jnp.float32)))
+        attr_ref[0] = attrs
 
 
 def _nearest_kernel_g(BS: int, WB: int, eps: float, prec: str,
@@ -913,18 +961,24 @@ _chunk_tiles = _ray_major._chunk_tiles
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
                                              "prec", "res", "groups"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
-                    prec: str = None, res: bool = None, groups: int = 1):
+                    prec: str = None, res: bool = None, groups: int = 1,
+                    At=None):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
     -> (t [n,tile], idx [n,tile]).  ``prec``: tri|highest|default (None ->
     the SRT_MT_PRECISION default).  ``res``: VMEM-resident geometry (None
     -> auto by size; pass explicitly from already-jitted callers — the env
     var is not part of this function's jit cache key).  ``groups`` > 1
-    needs a plan built with the same groups (sub-group masks)."""
+    needs a plan built with the same groups (sub-group masks).  ``At``
+    (resident-only, groups == 1): shade-attribute operand — the kernel
+    additionally one-hot-fetches the winner's packed attribute limbs and
+    the return becomes (t, idx, attrs [n, AR, tile] f32)."""
     prec = prec or _mode()
     n = Ft.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_RES if res else None)
     KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16)
+    fetch = At is not None
+    assert not fetch or (res and groups == 1), (fetch, res, groups)
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -939,36 +993,50 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                        pltpu.VMEM((block, tile), jnp.int32)] + scratch
         else:
             kern = functools.partial(_nearest_kernel_t, block, wb, eps,
-                                     prec, res, KW)
+                                     prec, res, KW, fetch)
+        tile_spec = pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
+        ]
+        out_specs = [tile_spec, tile_spec]
+        out_shape = [
+            _out_struct((nl, 1, tile), jnp.float32, Fc),
+            _out_struct((nl, 1, tile), jnp.int32, Fc),
+        ]
+        operands = [planc, Fc, Gt]
+        if fetch:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_specs.append(
+                pl.BlockSpec((1, At.shape[0], tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                _out_struct((nl, At.shape[0], tile), jnp.float32, Fc))
+            operands.append(At)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nl,),
-            in_specs=[
-                pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
             scratch_shapes=scratch,
         )
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=[
-                _out_struct((nl, 1, tile), jnp.float32, Fc),
-                _out_struct((nl, 1, tile), jnp.int32, Fc),
-            ],
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT) if res else None,
             interpret=_interpret(),
-        )(planc, Fc, Gt)
+        )(*operands)
 
-    t, idx = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
+    outs = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
+    if fetch:
+        t, idx, attrs = outs
+        return (t.reshape(n, tile), idx.reshape(n, tile),
+                attrs.reshape(n, At.shape[0], tile))
+    t, idx = outs
     return t.reshape(n, tile), idx.reshape(n, tile)
 
 
@@ -1175,6 +1243,13 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
         [aux, jnp.zeros((n, tail), jnp.int32)], axis=-1)
 
 
+def _hit_operand(prep):
+    """The G operand the nearest walk will use at the current precision
+    mode (for residency checks by callers)."""
+    gs = getattr(prep, "gram_s", None)
+    return gs if (_mode() == "stack" and gs is not None) else prep.gram_t
+
+
 def _operands(prep, prec, origin, direction, tile, max_parts=None):
     """(G operand, effective precision, Ft) for the requested tier: "stack"
     needs the prepacked gram_s — BlockSet shard bundles (dist/ring.py) have
@@ -1234,6 +1309,26 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec=prec, res=res, groups=groups)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
+
+
+def hits_attrs(prep, origin, direction, tile: int, eps: float,
+               maxv: int = 248, apex: bool = False):
+    """Nearest hit + in-kernel shade-attribute fetch over flat rays.
+
+    Returns (t [R], idx [R], attrs [R, AR] f32) where attrs carries the
+    winner's packed attribute limbs (accel/prepared.py:ATTR_N per limb,
+    integrator.records_from_attrs decodes).  Requires prep.has_attr and a
+    VMEM-resident operand; callers fall back to hits() + the XLA record
+    gather otherwise."""
+    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
+    res = _resident(G)
+    assert prep.has_attr and res, (prep.has_attr, res)
+    plan = cull(prep, origin, direction, tile, maxv, apex=apex)
+    t, idx, attrs = tiled_nearest_t(Ft, plan, G, tile, prep.block_size,
+                                    WINDOW_BLOCKS, eps, prec=prec, res=res,
+                                    At=prep.attr_t)
+    attrs = attrs.transpose(0, 2, 1).reshape(-1, attrs.shape[1])
+    return t.reshape(-1)[:R], idx.reshape(-1)[:R], attrs[:R]
 
 
 def _hourglass_for(prep) -> bool:

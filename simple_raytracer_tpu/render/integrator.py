@@ -208,9 +208,51 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     return accum
 
 
+def records_from_attrs(scene, attrs: jnp.ndarray) -> dict:
+    """Decode the nearest kernel's fetched attribute limbs into a shading
+    record (the in-kernel replacement for gather_hit_records on
+    flat-untextured scenes; see accel/prepared.py:pack_attr_stacked_np).
+
+    attrs [R, AR] f32: limb l of attribute a at column l*ATTR_N + a,
+    attributes (nx, ny, nz, obj).  Limb sums reconstruct the f32 values
+    EXACTLY (ordered magnitudes); per-object materials resolve through an
+    unrolled small-table select (NOT a matmul: a default-precision matmul
+    would round the table values to bf16, breaking bit-parity with the
+    gather path; NOT a gather: per-row gather cost is what this replaces).
+    """
+    from ..accel.prepared import ATTR_N
+    v = (attrs[:, 0 * ATTR_N:1 * ATTR_N]
+         + attrs[:, 1 * ATTR_N:2 * ATTR_N]
+         + attrs[:, 2 * ATTR_N:3 * ATTR_N])              # exact limb sums
+    normal = v[:, :3]
+    obj = jnp.round(v[:, 3]).astype(jnp.int32)
+    O = scene.obj_color.shape[0]
+    R = obj.shape[0]
+    color = jnp.zeros((R, 3), scene.obj_color.dtype)
+    amb = jnp.zeros((R,), scene.obj_ambient.dtype)
+    spec = jnp.zeros((R,), scene.obj_specular.dtype)
+    shin = jnp.zeros((R,), scene.obj_shininess.dtype)
+    for o in range(O):                 # O is small (reference scenes <= 9)
+        m = obj == o
+        color = jnp.where(m[:, None], scene.obj_color[o], color)
+        amb = jnp.where(m, scene.obj_ambient[o], amb)
+        spec = jnp.where(m, scene.obj_specular[o], spec)
+        shin = jnp.where(m, scene.obj_shininess[o], shin)
+    return {
+        "obj": obj,
+        "tex_id": jnp.full((R,), -1, jnp.int32),   # untextured by contract
+        "color": color,
+        "ambient": amb,
+        "specular": spec,
+        "shininess": shin,
+        "normal": normal,
+    }
+
+
 def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
           t: jnp.ndarray, tri_idx: jnp.ndarray, light_pos: jnp.ndarray,
-          shadow_fn: Optional[Callable] = None) -> jnp.ndarray:
+          shadow_fn: Optional[Callable] = None,
+          record: Optional[dict] = None) -> jnp.ndarray:
     """Shade flat rays given nearest-hit indices (gather + shading core).
 
     Args:
@@ -228,7 +270,8 @@ def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
         # empty scene (missing-OBJ soft failure): nothing to shade; the hit
         # mask is all-False so finalize_image paints pure background
         return jnp.zeros_like(origin)
-    record = gather_hit_records(scene, tri_idx, cfg)
+    if record is None:
+        record = gather_hit_records(scene, tri_idx, cfg)
     return shade_records(scene, cfg, record, origin, direction, t, light_pos,
                          shadow_fn)
 

@@ -162,3 +162,21 @@ def test_hit_tile_subchunks_match_full_tile():
     img_full = np.asarray(render(scene, cfg, light))
     img_sub = np.asarray(render(scene, cfg.replace(hit_tile=128), light))
     assert (img_full == img_sub).all()
+
+
+def test_attr_fetch_matches_gather(monkeypatch):
+    """The env-gated in-kernel shade-attribute fetch (SRT_ATTR_FETCH=1;
+    exact limb transport through a one-hot MXU contraction, see
+    accel/prepared.py:pack_attr_stacked_np) must render BIT-equal to the
+    default XLA record-gather path on a flat-untextured shadowed scene.
+    (Default OFF: a measured in-frame negative — DESIGN.md round 3.)"""
+    scene = _scene(two_objects=True)
+    cam = CameraConfig(width=64, height=48)
+    lcfg = LightConfig(enable_shadows=True)
+    cfg = default_config().replace(mode="tiled", camera=cam, light=lcfg)
+    light = jnp.array([500.0, -300.0, -200.0], jnp.float32)
+    monkeypatch.setenv("SRT_ATTR_FETCH", "1")
+    img_fetch = np.asarray(render(scene, cfg, light))
+    monkeypatch.setenv("SRT_ATTR_FETCH", "0")
+    img_gather = np.asarray(render(scene, cfg, light))
+    assert np.array_equal(img_fetch, img_gather)
