@@ -1199,7 +1199,8 @@ def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None,
     two-cone light-apex cull."""
     from . import tiled_t as _t
     return _cull(origin, direction, tile, prep, maxv, excl,
-                 hourglass=_t._hourglass_for(prep), apex_rev=apex_rev)
+                 hourglass=_t._hourglass_for(prep) and not apex_rev,
+                 apex_rev=apex_rev)
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,

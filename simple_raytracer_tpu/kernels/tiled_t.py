@@ -1353,9 +1353,14 @@ def cull_occl(prep, origin, direction, tile: int, maxv: int, excl=None,
     pass through the light; tiled._visibility_hourglass);
     ``apex_rev`` (every ray ends at ONE shared light — the hard-shadow
     path's contract) adds the projective two-cone light-apex cull."""
+    # apex_rev (projective light-apex test) subsumes the hourglass: both
+    # exploit the shared light, px_rev exactly — complex@180 full frame
+    # 51.4 (px_rev only) vs 52.0 ms (both); the hourglass still serves the
+    # FOLDED soft-shadow path, whose per-sample apexes differ.
     return cull(prep, origin, direction, tile, maxv, excl,
                 wb=WINDOW_BLOCKS_AH, groups=_groups_for_ah(tile),
-                hourglass=_hourglass_for(prep), apex_rev=apex_rev)
+                hourglass=_hourglass_for(prep) and not apex_rev,
+                apex_rev=apex_rev)
 
 
 def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
