@@ -81,13 +81,23 @@ def main():
                     tiled_t.SUPER_ROWS_RES = rows
                     tiled_t.tiled_nearest_t.clear_cache()
 
+                    hoist = os.environ.get("SRT_SWEEP_HOIST", "0") != "0"
+
                     @jax.jit
-                    def many(o, d, plan, wb=wb):
+                    def many(o, d, plan, wb=wb, hoist=hoist):
+                        F0 = tiled_t.ray_tile_features_stacked(
+                            o, d, tile, parts)[0]
+
                         def one(i, acc):
-                            F = tiled_t.ray_tile_features_stacked(
-                                o + i * 1e-6, d, tile, parts)[0]
+                            # hoist=1: reuse the same features every iter
+                            # (isolates kernel-only cost; the epsilon
+                            # defeats CSE across iterations either way)
+                            F = F0 if hoist else \
+                                tiled_t.ray_tile_features_stacked(
+                                    o + i * 1e-6, d, tile, parts)[0]
                             t, _ = tiled_t.tiled_nearest_t(
-                                F, plan, prep.gram_s, tile, prep.block_size,
+                                F, plan, prep.gram_s,
+                                tile, prep.block_size,
                                 wb, eps, prec="stack", res=True)
                             return acc + jnp.where(
                                 jnp.isfinite(t), t, 0.0).sum()

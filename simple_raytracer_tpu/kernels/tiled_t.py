@@ -114,6 +114,15 @@ PREPASS_M = float(_os.environ.get("SRT_TILED_PREPASS_M", str(2.0 ** -6)))
 # rows-per-break; WB=2/KW=4 is the optimum.)  SRT_TILED_SPLIT_MM=0 restores
 # the single big contraction.
 _SPLIT_MM = _os.environ.get("SRT_TILED_SPLIT_MM", "1") not in ("0", "")
+# Per-window count guard in the split-MM paths: wrap each unrolled window k
+# in lax.cond(jk < cnt) so the last super-step's padded slots (clamped
+# duplicate windows, ~2-6 of every 16 issued window matmuls at projective
+# plan sizes) skip both the MXU issue and the VPU epilogue.  Measured
+# NEGATIVE on hardware (bunny 1080p nearest: 22.10 ms guarded vs 19.31
+# unguarded) — the per-window scf.if overhead exceeds the saved duplicate
+# work, consistent with the ~2.2us fixed cost per control-flow step
+# (DESIGN.md round-3 retune).  Default OFF; SRT_TILED_SPLIT_GUARD=1 opts in.
+_SPLIT_GUARD = _os.environ.get("SRT_TILED_SPLIT_GUARD", "0") not in ("0", "")
 # Any-hit keeps the CONCATENATED contraction in resident mode (see
 # SUPER_ROWS_AH: issue-bound walk, fatter matmuls win, no break to protect).
 _SPLIT_MM_AH = _os.environ.get("SRT_TILED_SPLIT_MM_AH", "0") not in ("0", "")
@@ -144,10 +153,38 @@ def _kw(block: int, wb: int, prec: str = "highest", rows: int = None) -> int:
     return max(rows // (4 * block * wb), 1)
 
 
+def _features_rows(o: jnp.ndarray, d: jnp.ndarray, tile: int):
+    """Flat rays [R,3] -> ([n, 10, tile] f32 feature rows, n, R), computed
+    DIRECTLY in feature-major layout.
+
+    Same values as isect.ray_features (d, o x d, o, 1 — identical mul/sub
+    order, bit-exact), but each feature row is built as a contiguous
+    [n, tile] plane and stacked on the SUBLANE axis — the previous
+    ray-major path materialized [n, tile, rows] and paid a minor-dim
+    relayout transpose on the full stacked array, which the hardware probe
+    put at ~11 ms of the 19 ms nearest stage (bunny 1080p, 64px tiles:
+    kernel-only 8.0 ms vs features+kernel 19.3 — scripts/stack_sweep.py
+    SRT_SWEEP_HOIST A/B)."""
+    o, d, R = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
+    ot = o.reshape(n, tile, 3)
+    dt = d.reshape(n, tile, 3)
+    ox, oy, oz = (ot[:, :, k] for k in range(3))
+    dx, dy, dz = (dt[:, :, k] for k in range(3))
+    cx = oy * dz - oz * dy                     # jnp.cross component order
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    one = jnp.ones_like(dx)
+    F = jnp.stack([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=1)
+    return F, n, R
+
+
 def ray_tile_features_t(o: jnp.ndarray, d: jnp.ndarray, tile: int):
     """Flat rays [R,3] -> (Ft [n_tiles, F_DIM, tile], n_tiles, R)."""
-    F, n, R = _ray_major.ray_tile_features(o, d, tile)
-    return F.transpose(0, 2, 1), n, R
+    F, n, R = _features_rows(o, d, tile)
+    F = jnp.concatenate(
+        [F, jnp.zeros((n, F_DIM - 10, F.shape[2]), F.dtype)], axis=1)
+    return F, n, R
 
 
 def _tile_plan_t(plan_ref, i, wb, groups: int = 1):
@@ -276,17 +313,86 @@ def ray_tile_features_stacked(o, d, tile: int, parts: int):
     exactly like the G side, so ONE dot over the stacked rows sums every
     emulated partial product."""
     from ..accel.prepared import STACK_PATTERNS
-    F, n, R = _ray_major.ray_tile_features(o, d, tile)   # [n, tile, 16] f32
-    h, m, l = _split3(F[..., :10])
+    F, n, R = _features_rows(o, d, tile)                 # [n, 10, tile] f32
+    h, m, l = _split3(F)
     part = {"h": h, "m": m, "l": l}
     Fs = jnp.concatenate([part[fp] for (_gp, fp) in STACK_PATTERNS[parts]],
-                         axis=-1)                        # [n, tile, 10*parts]
+                         axis=1)                         # [n, 10*parts, tile]
     rows = -(-(10 * parts) // 16) * 16
     pad = rows - 10 * parts
     if pad:
         Fs = jnp.concatenate(
-            [Fs, jnp.zeros(Fs.shape[:2] + (pad,), Fs.dtype)], axis=-1)
-    return Fs.transpose(0, 2, 1), n, R
+            [Fs, jnp.zeros((n, pad, Fs.shape[2]), Fs.dtype)], axis=1)
+    return Fs, n, R
+
+
+def ray_tile_od(o: jnp.ndarray, d: jnp.ndarray, tile: int):
+    """Flat rays [R,3] -> ([n, 8, tile] f32 ray rows, n, R): rows
+    [ox, oy, oz, dx, dy, dz, 1, 0] for the IN-KERNEL feature build
+    (:func:`_build_feats`).
+
+    Why this exists: materializing the stacked feature operand in XLA is
+    store-bound, not flop-bound — the band concats write single sublanes
+    into a (16, 128)-tiled bf16 layout, so the ~270 MB frame operand costs
+    ~11 ms (vs 8 ms for the whole walk kernel; scripts/stack_sweep.py
+    SRT_SWEEP_HOIST A/B + scripts/feat_probe.py, where the isolated
+    "stacked" probe is cheap only because summing a concat lets XLA elide
+    the materialization).  The 8-row o/d operand is 16x smaller, writes
+    full 8-sublane f32 tiles, and the kernel rebuilds features + the bf16
+    band stack per tile in VMEM (~30 VPU ops on [*, tile] rows).  Row 6 is
+    the constant-1 feature row; row 7 pads the sublane tile."""
+    o, d, R = pad_rays(o, d, tile)
+    n = o.shape[0] // tile
+    ot = o.reshape(n, tile, 3)
+    dt = d.reshape(n, tile, 3)
+    one = jnp.ones((n, tile), o.dtype)
+    OD = jnp.stack([ot[:, :, 0], ot[:, :, 1], ot[:, :, 2],
+                    dt[:, :, 0], dt[:, :, 1], dt[:, :, 2],
+                    one, jnp.zeros((n, tile), o.dtype)], axis=1)
+    return OD, n, R
+
+
+def _split3_k(x):
+    """In-kernel f32 -> (h, m, l) bf16 split (same math as _split3).
+    Mosaic does not fold the f32->bf16->f32 residual (the round-2/3
+    excess-precision trap is an XLA-outside-Pallas behavior), so the
+    down-casts need no barriers on hardware; interpret mode (CPU tests)
+    runs the kernel through XLA and keeps the barriers."""
+    if _interpret():
+        return _split3(x)
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _build_feats(OD, prec: str, parts: int, TILE_R: int):
+    """Kernel preamble: OD rows [8, T] (see :func:`ray_tile_od`) -> the walk
+    operand — the K-stacked bf16 band stack for prec="stack" (bit-matching
+    ray_tile_features_stacked up to mul/sub fusion) or the 16-row f32
+    feature block otherwise (matching ray_tile_features_t)."""
+    ox, oy, oz = OD[0:1], OD[1:2], OD[2:3]
+    dx, dy, dz = OD[3:4], OD[4:5], OD[5:6]
+    one = OD[6:7]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    F10 = jnp.concatenate([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=0)
+    if prec != "stack":
+        return jnp.concatenate(
+            [F10, jnp.zeros((F_DIM - 10, TILE_R), F10.dtype)], axis=0)
+    from ..accel.prepared import STACK_PATTERNS
+    h, m, l = _split3_k(F10)
+    part = {"h": h, "m": m, "l": l}
+    Fs = jnp.concatenate([part[fp] for (_gp, fp) in STACK_PATTERNS[parts]],
+                         axis=0)
+    rows = -(-(10 * parts) // 16) * 16
+    pad = rows - 10 * parts
+    if pad:
+        Fs = jnp.concatenate(
+            [Fs, jnp.zeros((pad, TILE_R), Fs.dtype)], axis=0)
+    return Fs
 
 
 def _step_quad(Gs, Ft, prec: str):
@@ -359,8 +465,8 @@ def _mt_epilogue_t(quad, base, BS, eps):
 
 
 def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
-                      resident: bool, KW: int, fetch: bool, plan_ref,
-                      Ft_ref, G, *rest):
+                      resident: bool, KW: int, fetch: bool, od_parts: int,
+                      plan_ref, Ft_ref, G, *rest):
     if fetch:
         At, t_ref, idx_ref, attr_ref, *scratch = rest
     else:
@@ -369,8 +475,10 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
     i = pl.program_id(0)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
-    Ft = Ft_ref[0]                                       # [F_DIM, TILE_R]
+    Ft = Ft_ref[0]                        # [F_DIM, TILE_R] (or OD rows)
     TILE_R = Ft.shape[1]
+    if od_parts:
+        Ft = _build_feats(Ft, prec, od_parts, TILE_R)
     gbuf, sem_g = scratch if scratch else (None, None)
 
     if not resident and not _SYNC_DMA:
@@ -392,23 +500,34 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             nbw = _nb_total(G, BS) - WB
             RPB = 4 * BS
             for k in range(KW):
-                s = jnp.clip(start(j * KW + k), 0, nbw)
+                jk = j * KW + k
+                s = jnp.clip(start(jk), 0, nbw)
                 if _ABLATE == "dma":    # measurement: loop + slices only
                     best_t = jnp.minimum(
                         best_t,
                         G[:BS, pl.ds(s * RPB, TILE_R)].astype(jnp.float32)
                         + 1e30)
                     continue
-                quad_k = _step_quad(G[:, pl.ds(s * RPB, WB * RPB)], Ft, prec)
-                if _ABLATE == "matmul":  # measurement: no epilogue
-                    best_t = jnp.minimum(best_t, quad_k[:BS] + 1e30)
-                    continue
-                for b in range(WB):
-                    t = _mt_epilogue_t(quad_k, b * 4 * BS, BS, eps)
-                    idv = (s + b) * BS + row
-                    imp = t < best_t
-                    best_t = jnp.where(imp, t, best_t)
-                    best_i = jnp.where(imp, idv, best_i)
+
+                def _win(args, s=s):
+                    bt, bi = args
+                    quad_k = _step_quad(G[:, pl.ds(s * RPB, WB * RPB)],
+                                        Ft, prec)
+                    if _ABLATE == "matmul":  # measurement: no epilogue
+                        return jnp.minimum(bt, quad_k[:BS] + 1e30), bi
+                    for b in range(WB):
+                        t = _mt_epilogue_t(quad_k, b * 4 * BS, BS, eps)
+                        idv = (s + b) * BS + row
+                        imp = t < bt
+                        bt = jnp.where(imp, t, bt)
+                        bi = jnp.where(imp, idv, bi)
+                    return bt, bi
+
+                if _SPLIT_GUARD:
+                    best_t, best_i = jax.lax.cond(
+                        jk < cnt, _win, lambda a: a, (best_t, best_i))
+                else:
+                    best_t, best_i = _win((best_t, best_i))
             if _NO_BREAK:
                 return j + 1, jnp.bool_(False), best_t, best_i
             per_ray = jnp.min(best_t, axis=0, keepdims=True)
@@ -751,8 +870,8 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
 
 
 def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
-                     resident: bool, KW: int, plan_ref, bobj_ref, Ft_ref,
-                     self_ref, G_in, hit_ref, *scratch):
+                     resident: bool, KW: int, od_parts: int, plan_ref,
+                     bobj_ref, Ft_ref, self_ref, G_in, hit_ref, *scratch):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
     no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
     free MT predicate on the numerators; the self-object test is ONE
@@ -765,6 +884,8 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
     ns = (cnt + KW - 1) // KW
     Ft = Ft_ref[0]
     TILE_R = Ft.shape[1]
+    if od_parts:
+        Ft = _build_feats(Ft, prec, od_parts, TILE_R)
     self_obj = self_ref[0]                               # [1, TILE_R] f32
     gbuf, sem_g = scratch if scratch else (None, None)
 
@@ -803,21 +924,30 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
             # see _nearest_kernel_t)
             RPB = 4 * BS
             for k in range(KW):
-                s = jnp.clip(start(j * KW + k), 0, nbw)
-                Gw = G_in[:, pl.ds(s * RPB, WB * RPB)]
+                jk = j * KW + k
+                s = jnp.clip(start(jk), 0, nbw)
                 if _ABLATE == "dma":    # measurement only: loop+slice cost
+                    Gw = G_in[:, pl.ds(s * RPB, WB * RPB)]
                     occ_vec = jnp.maximum(
                         occ_vec, jnp.where(Gw[:1, :TILE_R] > 1e30, 1.0, 0.0))
                     continue
-                quad_k = _step_quad(Gw, Ft, prec)
-                if _ABLATE == "matmul":  # measurement only: skip predicate
-                    occ_vec = jnp.maximum(
-                        occ_vec, jnp.where(quad_k[:BS] > 1e30, 1.0, 0.0))
-                    continue
-                for b in range(WB):
-                    occ = _occ_block(quad_k, b * 4 * BS, s, b)
-                    occ_vec = jnp.maximum(occ_vec,
-                                          jnp.where(occ, 1.0, 0.0))
+
+                def _win(ov, s=s):
+                    quad_k = _step_quad(G_in[:, pl.ds(s * RPB, WB * RPB)],
+                                        Ft, prec)
+                    if _ABLATE == "matmul":  # measurement: skip predicate
+                        return jnp.maximum(
+                            ov, jnp.where(quad_k[:BS] > 1e30, 1.0, 0.0))
+                    for b in range(WB):
+                        occ = _occ_block(quad_k, b * 4 * BS, s, b)
+                        ov = jnp.maximum(ov, jnp.where(occ, 1.0, 0.0))
+                    return ov
+
+                if _SPLIT_GUARD:
+                    occ_vec = jax.lax.cond(
+                        jk < cnt, _win, lambda v: v, occ_vec)
+                else:
+                    occ_vec = _win(occ_vec)
         else:
             if resident:
                 Gs = _res_gather(G_in, start, j, BS, WB, KW)
@@ -959,12 +1089,18 @@ _chunk_tiles = _ray_major._chunk_tiles
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
-                                             "prec", "res", "groups"))
+                                             "prec", "res", "groups",
+                                             "od_parts"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                     prec: str = None, res: bool = None, groups: int = 1,
-                    At=None):
+                    At=None, od_parts: int = 0):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
-    -> (t [n,tile], idx [n,tile]).  ``prec``: tri|highest|default (None ->
+    -> (t [n,tile], idx [n,tile]).  ``od_parts`` != 0: Ft instead carries
+    the 8 o/d ray rows (ray_tile_od) and the kernel builds the walk
+    operand in VMEM (_build_feats: the od_parts-band bf16 stack for
+    prec="stack", the 16-row f32 block otherwise) — skipping the
+    store-bound XLA materialization of the stacked features.
+    ``prec``: tri|highest|default (None ->
     the SRT_MT_PRECISION default).  ``res``: VMEM-resident geometry (None
     -> auto by size; pass explicitly from already-jitted callers — the env
     var is not part of this function's jit cache key).  ``groups`` > 1
@@ -976,9 +1112,11 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     n = Ft.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_RES if res else None)
-    KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16)
+    KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16 /
+    #                             8 o/d rows when od_parts != 0)
     fetch = At is not None
     assert not fetch or (res and groups == 1), (fetch, res, groups)
+    assert not od_parts or groups == 1, (od_parts, groups)
 
     def call(Fc, planc):
         nl = Fc.shape[0]
@@ -993,7 +1131,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                        pltpu.VMEM((block, tile), jnp.int32)] + scratch
         else:
             kern = functools.partial(_nearest_kernel_t, block, wb, eps,
-                                     prec, res, KW, fetch)
+                                     prec, res, KW, fetch, od_parts)
         tile_spec = pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         in_specs = [
@@ -1115,18 +1253,22 @@ def _refine_plan(plan, flags):
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
                                              "no_max_t", "prec", "res",
-                                             "groups"))
+                                             "groups", "od_parts"))
 def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
                    wb: int, eps: float, no_max_t: bool = True,
-                   prec: str = None, res: bool = None, groups: int = 1):
+                   prec: str = None, res: bool = None, groups: int = 1,
+                   od_parts: int = 0):
     """Occlusion query.  self_obj [n, 1, tile] f32, bobj [NB+pad] i32
     per-block object ids.  -> found [n, tile].  ``groups`` > 1 needs a
-    plan built with the same groups (sub-group masks)."""
+    plan built with the same groups (sub-group masks).  ``od_parts`` != 0:
+    Ft carries the 8 o/d ray rows and the kernel builds the walk operand
+    in VMEM (see tiled_nearest_t)."""
     prec = prec or _mode()
     n = Ft.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_AH if res else None)
     KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16)
+    assert not od_parts or groups == 1, (od_parts, groups)
 
     def call(Fc, selfc, planc):
         nl = Fc.shape[0]
@@ -1140,7 +1282,7 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
             scratch = [pltpu.VMEM((1, tile), jnp.float32)] + scratch
         else:
             kern = functools.partial(_anyhit_kernel_t, block, wb, eps,
-                                     no_max_t, prec, res, KW)
+                                     no_max_t, prec, res, KW, od_parts)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nl,),
@@ -1250,10 +1392,22 @@ def _hit_operand(prep):
     return gs if (_mode() == "stack" and gs is not None) else prep.gram_t
 
 
+# In-kernel feature build (ray_tile_od + _build_feats) for the stack tier:
+# measured as the fix for the store-bound XLA feature materialization (see
+# ray_tile_od).  SRT_OD_FEAT=0 restores the XLA-side stacked features.
+_OD_FEAT = _os.environ.get("SRT_OD_FEAT", "1") not in ("0", "")
+
+
 def _operands(prep, prec, origin, direction, tile, max_parts=None):
-    """(G operand, effective precision, Ft) for the requested tier: "stack"
-    needs the prepacked gram_s — BlockSet shard bundles (dist/ring.py) have
-    none and demote to the runtime-split "tri" path on the f32 gram_t.
+    """(G operand, effective precision, Ft, n, R, od_parts) for the
+    requested tier: "stack" needs the prepacked gram_s — BlockSet shard
+    bundles (dist/ring.py) have none and demote to the runtime-split "tri"
+    path on the f32 gram_t.
+
+    For the stack tier with the in-kernel feature build enabled (the
+    default), Ft is the [n, 8, tile] o/d row operand and ``od_parts``
+    carries the band count for the kernel preamble; otherwise Ft is the
+    prebuilt feature operand and od_parts is 0.
 
     ``max_parts=3`` caps the emulation at tri grade by SLICING the stacked
     operand: STACK_PATTERNS[6][:3] == STACK_PATTERNS[3], so rows [:32] of a
@@ -1269,12 +1423,15 @@ def _operands(prep, prec, origin, direction, tile, max_parts=None):
             parts = max_parts
             rows = -(-(10 * parts) // 16) * 16
             gs = gs[:rows]
+        if _OD_FEAT:
+            OD, n, R = ray_tile_od(origin, direction, tile)
+            return gs, "stack", OD, n, R, parts
         Ft, n, R = ray_tile_features_stacked(origin, direction, tile, parts)
-        return gs, "stack", Ft, n, R
+        return gs, "stack", Ft, n, R, 0
     if prec == "stack":
         prec = "tri"
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
-    return prep.gram_t, prec, Ft, n, R
+    return prep.gram_t, prec, Ft, n, R, 0
 
 
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
@@ -1300,14 +1457,20 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec="highest", res=res)
     else:
-        G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
-        res = _resident(G)
         groups = _groups_for(tile) if maxv > 0 else 1
+        G, prec, Ft, n, R, odp = _operands(prep, _mode(), origin,
+                                           direction, tile)
+        if odp and groups > 1:   # grouped kernel has no od preamble
+            Ft, n, R = ray_tile_features_stacked(origin, direction, tile,
+                                                 odp)
+            odp = 0
+        res = _resident(G)
         plan = cull(prep, origin, direction, tile, maxv, groups=groups,
                     apex=apex)
         t, idx = tiled_nearest_t(Ft, plan, G, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
-                                 prec=prec, res=res, groups=groups)
+                                 prec=prec, res=res, groups=groups,
+                                 od_parts=odp)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
