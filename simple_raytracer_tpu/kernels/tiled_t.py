@@ -1483,13 +1483,14 @@ def hits_attrs(prep, origin, direction, tile: int, eps: float,
     integrator.records_from_attrs decodes).  Requires prep.has_attr and a
     VMEM-resident operand; callers fall back to hits() + the XLA record
     gather otherwise."""
-    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile)
+    G, prec, Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
+                                       tile)
     res = _resident(G)
     assert prep.has_attr and res, (prep.has_attr, res)
     plan = cull(prep, origin, direction, tile, maxv, apex=apex)
     t, idx, attrs = tiled_nearest_t(Ft, plan, G, tile, prep.block_size,
                                     WINDOW_BLOCKS, eps, prec=prec, res=res,
-                                    At=prep.attr_t)
+                                    At=prep.attr_t, od_parts=odp)
     attrs = attrs.transpose(0, 2, 1).reshape(-1, attrs.shape[1])
     return t.reshape(-1)[:R], idx.reshape(-1)[:R], attrs[:R]
 
@@ -1530,8 +1531,12 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
            no_max_t: bool):
     """self_obj2d [n, tile] f32 -> found [n, tile] bool.  ``plan`` must come
     from cull_occl (WINDOW_BLOCKS_AH windows)."""
-    G, prec, Ft, n, R = _operands(prep, _mode(), origin, direction, tile,
-                                  max_parts=3)
+    groups = _groups_for_ah(tile)
+    G, prec, Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
+                                       tile, max_parts=3)
+    if odp and groups > 1:       # grouped kernel has no od preamble
+        Ft, n, R = ray_tile_features_stacked(origin, direction, tile, odp)
+        odp = 0
     # per-block ids padded to the gram block count (pad blocks: -1 never
     # matches a real self id; their triangles are degenerate anyway)
     npad = (G.shape[1] // (4 * prep.block_size)
@@ -1541,5 +1546,4 @@ def anyhit(prep, origin, direction, self_obj2d, plan, tile: int, eps: float,
     return tiled_anyhit_t(Ft, self_obj2d.reshape(n, 1, tile), plan,
                           G, bobj, tile, prep.block_size,
                           WINDOW_BLOCKS_AH, eps, no_max_t, prec=prec,
-                          res=_resident(G),
-                          groups=_groups_for_ah(tile))
+                          res=_resident(G), groups=groups, od_parts=odp)
