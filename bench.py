@@ -173,14 +173,20 @@ def run_once(mode: str, width: int, height: int, frames: int,
     NF = max(frames, 8)
 
     @jax.jit
-    def many(operand, light_pos):
+    def many(operand, light_pos, eye):
         # N frames inside ONE device program: the tunneled TPU adds ~1s of
         # round-trip per host call, so per-frame time must be measured
-        # amortized.  The light varies per frame to defeat loop-invariant
-        # hoisting of the whole render.
+        # amortized.  HONESTY (round-4 fix): varying only the LIGHT lets
+        # XLA hoist the light-invariant stages (cull + nearest walk +
+        # record gather) out of the loop — measured 17.9 ms/frame hoisted
+        # vs 61.2 honest (scripts/bench_hoist.py), i.e. rounds 1-3 bunny
+        # headlines amortized the nearest pass over the batch.  Every
+        # frame now gets an epsilon-translated VIEW matrix: identical
+        # work, but no stage is loop-invariant.
         def one(i, acc):
             lp = light_pos + i.astype(jnp.float32) * 1e-4
-            radiance, hit = render_radiance(operand, cfg, lp)
+            V = eye.at[0, 3].add(i.astype(jnp.float32) * 1e-5)
+            radiance, hit = render_radiance(operand, cfg, lp, view_matrix=V)
             img = integrator.finalize_image(radiance, hit, cfg)
             return acc + img.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, NF, one, jnp.int32(0))
@@ -192,11 +198,12 @@ def run_once(mode: str, width: int, height: int, frames: int,
     frac = float((~bg).mean())
     assert 0.05 < frac < 0.99, f"implausible bunny coverage {frac}"
 
+    eye = jnp.eye(4, dtype=jnp.float32)
     t0 = time.time()
-    int(many(prep, light))                        # compile + warm
+    int(many(prep, light, eye))                   # compile + warm
     print(f"# many() compile+first: {time.time()-t0:.2f}s", file=sys.stderr)
     t0 = time.time()
-    int(many(prep, light))
+    int(many(prep, light, eye))
     best = (time.time() - t0) / NF
     rays = width * height
     print(f"# {NF} frames batched: {best*NF:.3f}s -> {best*1e3:.2f} ms/frame",
@@ -209,6 +216,7 @@ def run_once(mode: str, width: int, height: int, frames: int,
                    + ("" if platform == "tpu" else f"_{platform}")),
         "value": round(rays / best, 1),
         "unit": "rays/s",
+        "methodology": "view-varied frames (r4 fix: light-only loops let XLA hoist the nearest pass)",
         "vs_baseline": round(rays / best / REFERENCE_RAYS_PER_S, 2),
     }
 
@@ -298,7 +306,8 @@ def main():
                   f"waiting for TPU recovery", file=sys.stderr)
             time.sleep(45)
     print(json.dumps({"metric": "primary_rays_per_s_per_chip_bunny",
-                      "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}))
+                      "value": 0.0, "unit": "rays/s",
+        "methodology": "view-varied frames (r4 fix: light-only loops let XLA hoist the nearest pass)", "vs_baseline": 0.0}))
 
 
 if __name__ == "__main__":

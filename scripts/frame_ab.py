@@ -1,0 +1,142 @@
+"""Same-process HONEST full-frame A/B on the bench scene.
+
+Round 4 found XLA hoists light-invariant stages (cull + nearest walk +
+record gather) out of a light-only frame loop (scripts/bench_hoist.py:
+light-vary 17.9 vs view-vary 61.2 ms/frame) — so every variant here
+varies the VIEW per frame (epsilon translation: identical work, nothing
+loop-invariant).
+
+Variants:
+  full        production pipeline (cull + nearest + occl + gather shade)
+  full_attrs  production pipeline with SRT_ATTR_FETCH=1 (in-kernel
+              attribute fetch replaces the [R, K] record gather)
+  noshade     cull + nearest + occl + trivial consumer
+  noocc       cull + nearest only
+  kernel      identical to noocc but via hits() with cam_spec (iota feats)
+  cull        the nearest-pass cull/plan only
+
+Usage: python scripts/frame_ab.py [variants...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_raytracer_tpu.config import (default_config, BVHConfig,
+                                         CameraConfig)
+from simple_raytracer_tpu.scene.scene import SceneManager
+import simple_raytracer_tpu.scene.transforms as T
+from simple_raytracer_tpu.accel.prepared import prepare
+from simple_raytracer_tpu.kernels import tiled, tiled_t
+from simple_raytracer_tpu.render import integrator as integ
+from simple_raytracer_tpu.render.renderer import render_radiance
+from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+W, H = 1920, 1080
+N = 8
+FOCAL = 6000.0
+variants = sys.argv[1:] or ["full", "full_attrs", "noshade", "noocc",
+                            "kernel", "cull"]
+
+sm = SceneManager(root="/root/reference")
+sm.load_obj_file("/root/reference/obj/stanford-bunny.obj", key="bunny")
+sm.set_color("bunny", (0.8, 0.7, 0.6))
+sm.transform_triangles(
+    "bunny", T.translate((0., -5.5, 60.)) @ T.rotate_y(3.14159265)
+    @ T.scale(50., 50., 50.))
+sm.load_obj_file("/root/reference/cube.obj", key="ground")
+sm.set_color("ground", (0.0, 1.0, 0.0))
+sm.transform_triangles(
+    "ground", T.translate((0.0, 9.0, 60.0)) @ T.scale(30.0, 2.0, 30.0))
+scene = sm.build()
+cfg = default_config().replace(
+    mode="tiled", camera=CameraConfig(width=W, height=H, focal=FOCAL),
+    bvh=BVHConfig(split="sah"))
+prep = prepare(scene, cfg)
+light = jnp.asarray([500., -300., -200.], jnp.float32)
+tpx = tiled.effective_tile_px(cfg, prep.scene.verts.shape[0])
+TILE = tpx * tpx
+MAXV = cfg.cull_maxv
+eye = jnp.eye(4, dtype=jnp.float32)
+
+
+def timeit(name, body):
+    """body(V, light) -> scalar; V varies per frame (hoist-proof)."""
+    @jax.jit
+    def many(eye, light):
+        def one(i, acc):
+            V = eye.at[0, 3].add(i.astype(jnp.float32) * 1e-5)
+            return acc + body(V, light + i.astype(jnp.float32) * 1e-4)
+        return jax.lax.fori_loop(0, N, one, jnp.float32(0))
+    t0 = time.time(); float(many(eye, light)); c = time.time() - t0
+    t0 = time.time(); float(many(eye, light)); dt = (time.time() - t0) / N
+    print(f"[{name}] {dt*1e3:.2f} ms/frame (compile {c:.0f}s)", flush=True)
+
+
+def rays(V):
+    o, d, _tx, _ty = primary_rays_tiled(W, H, tpx, FOCAL, False,
+                                        view_matrix=V)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def run_full(name):
+    def full(V, lp):
+        rad, hit = render_radiance(prep, cfg, lp, view_matrix=V)
+        img = integ.finalize_image(rad, hit, cfg)
+        return img.astype(jnp.int32).sum().astype(jnp.float32)
+    timeit(name, full)
+
+
+if "full" in variants:
+    os.environ["SRT_ATTR_FETCH"] = "0"
+    run_full("full")
+
+if "full_attrs" in variants and getattr(prep, "has_attr", False):
+    os.environ["SRT_ATTR_FETCH"] = "1"
+    run_full("full_attrs")
+    os.environ["SRT_ATTR_FETCH"] = "0"
+
+if "noshade" in variants:
+    def noshade(V, lp):
+        oo, dd = rays(V)
+        t, idx = tiled_t.hits(prep, oo, dd, TILE, cfg.mt_eps, MAXV,
+                              apex=True)
+        hitm = jnp.isfinite(t)
+        point = jnp.where(hitm[:, None], oo + t[:, None] * dd, 0.0)
+        objv = prep.scene.tri_obj[jnp.maximum(idx, 0)]
+        shadow_fn = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
+                                          cfg.light.shadow_no_max_t, 1,
+                                          impl=tiled_t)
+        s = shadow_fn(point, jnp.broadcast_to(lp, point.shape), objv,
+                      hit=hitm)
+        return jnp.where(hitm, jnp.where(s, t * 0.2, t), 0.).sum()
+    timeit("noshade", noshade)
+
+if "noocc" in variants:
+    def noocc(V, lp):
+        oo, dd = rays(V)
+        t, idx = tiled_t.hits(prep, oo, dd, TILE, cfg.mt_eps, MAXV,
+                              apex=True)
+        return (jnp.where(jnp.isfinite(t), t, 0.).sum()
+                + idx.sum().astype(jnp.float32) * 0 + lp.sum() * 0)
+    timeit("noocc", noocc)
+
+if "kernel" in variants:
+    def kernel(V, lp):
+        oo, dd = rays(V)
+        t, idx = tiled_t.hits(prep, oo, dd, TILE, cfg.mt_eps, MAXV,
+                              apex=True, cam_spec=(V, FOCAL, W, H, tpx))
+        return jnp.where(jnp.isfinite(t), t, 0.).sum() + lp.sum() * 0
+    timeit("kernel", kernel)
+
+if "cull" in variants:
+    def cull_only(V, lp):
+        oo, dd = rays(V)
+        plan = tiled_t.cull(prep, oo, dd, TILE, MAXV, apex=True)
+        return plan.astype(jnp.float32).sum() + lp.sum() * 0
+    timeit("cull", cull_only)

@@ -70,13 +70,14 @@ def timeit(name, fn, *args):
 
 if "cull" in stages:
     def cull_only(prep, o, d, i):
-        plan = IMPL.cull(prep, o + i * 1e-4, d, HTILE, MAXV)
+        plan = IMPL.cull(prep, o + i * 1e-4, d, HTILE, MAXV, apex=True)
         return plan.astype(jnp.float32).sum()
     timeit("cull", cull_only, prep, operm, dperm)
 
 if "hits" in stages:
     def hits_only(prep, o, d, i):
-        t, idx = IMPL.hits(prep, o + i * 1e-4, d, HTILE, cfg.mt_eps, MAXV)
+        t, idx = IMPL.hits(prep, o + i * 1e-4, d, HTILE, cfg.mt_eps, MAXV,
+                               apex=True)
         return jnp.where(jnp.isfinite(t), t, 0.0).sum()
     timeit("hits", hits_only, prep, operm, dperm)
 
@@ -84,7 +85,7 @@ if "shade" in stages:
     # shade-only on fixed precomputed hits (gathers + phong + tonemap,
     # flat-normal untextured path as the real config uses)
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV, apex=True))(operm, dperm)
     t0_ = t0_.block_until_ready()
 
     def shade_only(t, idx, i):
@@ -96,7 +97,7 @@ if "shade" in stages:
 if "grec" in stages or "srec" in stages:
     # shade decomposition: record gather vs shading math
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV, apex=True))(operm, dperm)
     t0_ = t0_.block_until_ready()
     if "grec" in stages:
         def grec_only(t, idx, i):
@@ -117,7 +118,7 @@ if "occl" in stages:
     # occlusion pass alone on fixed hit points (the real shadow query the
     # integrator issues: origins on surfaces, repaired misses, S=1)
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV, apex=True))(operm, dperm)
     t0_ = t0_.block_until_ready()
     hitm = jnp.isfinite(t0_)
     point = jnp.where(hitm[:, None], operm + t0_[:, None] * dperm, 0.0)
@@ -137,7 +138,7 @@ if "occl2" in stages:
     # (isfinite mask, point arithmetic, tri_obj gather) — vs "occl" which
     # precomputes them outside the timed loop
     t0_, idx0_ = jax.jit(lambda o, d: IMPL.hits(
-        prep, o, d, HTILE, cfg.mt_eps, MAXV))(operm, dperm)
+        prep, o, d, HTILE, cfg.mt_eps, MAXV, apex=True))(operm, dperm)
     t0_ = t0_.block_until_ready()
     shadow_fn2 = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
                                        cfg.light.shadow_no_max_t, 1,

@@ -1426,8 +1426,13 @@ def get_impl(name: str = None):
     raise ValueError(f"unknown tiled kernel impl {name!r}")
 
 
-def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
-    """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R])."""
+def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
+                      cam_spec=None):
+    """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R]).
+
+    ``cam_spec`` (view_matrix|None, focal, W, H, tile_px): rays are the
+    full tile-major primary stream of that camera — enables the sublane
+    kernel's in-kernel iota feature build (tiled_t.make_cam)."""
     tpx = effective_tile_px(cfg, prep.scene.verts.shape[0])
     tile = tpx * tpx
     impl = get_impl(cfg.tiled_impl)
@@ -1438,26 +1443,31 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos):
     record = None
     from . import tiled_t as _t
     # In-kernel one-hot shade-attribute fetch (exact limb transport,
-    # _t.hits_attrs) — a MEASURED NEGATIVE as the default: standalone the
-    # [R, K] record gather costs ~10 ms and the fetch loop ~4.5, but
-    # in-frame XLA overlaps the gather almost entirely and the fetch adds
-    # real kernel time (A/B same-process: 29.0 vs 27.1 ms/frame, bunny
-    # 1080p).  Kept env-gated (SRT_ATTR_FETCH=1) — it is bit-exact
-    # (tested) and the right building block if the shade stage ever stops
-    # overlapping (e.g. fused in-kernel Phong).
+    # _t.hits_attrs): DEFAULT ON where eligible.  Round 3 measured it as a
+    # net loss (29.0 vs 27.1 ms/frame) — but that A/B varied only the
+    # LIGHT between frames, and XLA hoists light-invariant stages (the
+    # nearest walk AND the [R, K] record gather) out of such loops
+    # (scripts/bench_hoist.py).  The round-4 HONEST A/B (view varied per
+    # frame, scripts/frame_ab.py) reverses the verdict decisively: bunny
+    # 1080p shadowed full frame 58.7 ms (gather shade) vs 18.2 ms (attr
+    # fetch) — ray-sized gathers never overlapped; the fetch deletes every
+    # one of them (records AND the occlusion pass's tri_obj lookup).
+    # SRT_ATTR_FETCH=0 restores the gather path.
     fetch_ok = (getattr(prep, "has_attr", False) and impl is _t
                 and not _t._prepass_on() and cfg.cull_maxv > 0
                 and _t._groups_for(htile) == 1
                 and _t._resident(_t._hit_operand(prep))
-                and _os.environ.get("SRT_ATTR_FETCH", "0") not in ("0",))
+                and _os.environ.get("SRT_ATTR_FETCH", "1") not in ("0",))
+    cspec = cam_spec if impl is _t else None
     if fetch_ok:
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
                                           cfg.mt_eps, cfg.cull_maxv,
-                                          apex=True)
+                                          apex=True, cam_spec=cspec)
         record = integrator.records_from_attrs(prep.scene, attrs)
     else:
+        kw = {"cam_spec": cspec} if impl is _t else {}
         t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
-                               cfg.cull_maxv, apex=True)
+                               cfg.cull_maxv, apex=True, **kw)
     stile = _shadow_tile(cfg, tile, prep)
     shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,
                                 cfg.light.shadow_no_max_t,

@@ -367,18 +367,10 @@ def _split3_k(x):
     return h, m, l
 
 
-def _build_feats(OD, prec: str, parts: int, TILE_R: int):
-    """Kernel preamble: OD rows [8, T] (see :func:`ray_tile_od`) -> the walk
-    operand — the K-stacked bf16 band stack for prec="stack" (bit-matching
-    ray_tile_features_stacked up to mul/sub fusion) or the 16-row f32
-    feature block otherwise (matching ray_tile_features_t)."""
-    ox, oy, oz = OD[0:1], OD[1:2], OD[2:3]
-    dx, dy, dz = OD[3:4], OD[4:5], OD[5:6]
-    one = OD[6:7]
-    cx = oy * dz - oz * dy
-    cy = oz * dx - ox * dz
-    cz = ox * dy - oy * dx
-    F10 = jnp.concatenate([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=0)
+def _stack_bands(F10, prec: str, parts: int, TILE_R: int):
+    """Feature rows [10, T] -> the walk operand (shared tail of the
+    in-kernel feature builders): the K-stacked bf16 band stack for
+    prec="stack", the 16-row f32 block otherwise."""
     if prec != "stack":
         return jnp.concatenate(
             [F10, jnp.zeros((F_DIM - 10, TILE_R), F10.dtype)], axis=0)
@@ -393,6 +385,91 @@ def _build_feats(OD, prec: str, parts: int, TILE_R: int):
         Fs = jnp.concatenate(
             [Fs, jnp.zeros((pad, TILE_R), Fs.dtype)], axis=0)
     return Fs
+
+
+def _build_feats(OD, prec: str, parts: int, TILE_R: int):
+    """Kernel preamble: OD rows [8, T] (see :func:`ray_tile_od`) -> the walk
+    operand — the K-stacked bf16 band stack for prec="stack" (bit-matching
+    ray_tile_features_stacked up to mul/sub fusion) or the 16-row f32
+    feature block otherwise (matching ray_tile_features_t)."""
+    ox, oy, oz = OD[0:1], OD[1:2], OD[2:3]
+    dx, dy, dz = OD[3:4], OD[4:5], OD[5:6]
+    one = OD[6:7]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    F10 = jnp.concatenate([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=0)
+    return _stack_bands(F10, prec, parts, TILE_R)
+
+
+# --- iota ray features -------------------------------------------------------
+# For PRIMARY rays the per-step [8, T] OD block is redundant: the whole ray
+# stream is an affine function of the pixel grid.  Tile-major generation
+# (ops/camera.py:primary_rays_tiled) maps lane l of tile (program_id) to
+# pixel (px0 + l % tpx, py0 + l // tpx), and
+#     d = (i, j, focal) @ V[:3, :3]^T,   o = V[:3, 3]   (or identity view)
+# so every feature row is  fx * A + fy * B + C  with per-frame constant
+# rows A/B/C.  The kernel rebuilds F10 from a lane iota + a [16, T]
+# constant-row operand (make_cam below) and the per-tile integer pixel
+# origin carried in plan aux slots 4/5 — deleting the per-step ray DMA,
+# which the round-4 probes put at ~40% of an empty walk's cost
+# (scripts/fixed_probe2.py: blocked-OD io 6.54 -> no-input 4.68 ms/frame).
+# Bit-exactness: with view=None the rebuilt d rows are exactly
+# (i, j, focal) (mul by 1/add of 0 are exact) and o rows are exactly 0, so
+# features match ray_tile_od -> _build_feats bit-for-bit; with a view
+# matrix the dot-product rounding differs from XLA's [R,3]@[3,3] matmul in
+# the last ulp — within the stack emulation's error budget (~2^-26
+# mass-relative), and the golden/turntable checksums gate it on hardware.
+CAM_ROWS = 16
+
+
+def make_cam(view_matrix, focal: float, width: int, height: int,
+             tile_px: int, n_tiles: int, tiles_x: int, tile_r: int):
+    """Build the iota-feature operands: (cam [16, tile_r] f32 constant rows,
+    tile_xy [n_tiles, 2] i32 pixel origins).
+
+    cam rows: 0-2 = A (dx,dy,dz coefficient of fx), 3-5 = B (of fy),
+    6-8 = C (constant term), 9-11 = origin o, 12 = ones, 13-15 = zero pad.
+    tile_xy row i = (px0 - W//2, py0 - H//2) for tile i in the row-major
+    tile-grid order of primary_rays_tiled."""
+    if view_matrix is None:
+        A = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        B = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+        C = jnp.asarray([0.0, 0.0, float(focal)], jnp.float32)
+        o = jnp.zeros((3,), jnp.float32)
+    else:
+        V = jnp.asarray(view_matrix, jnp.float32)
+        A = V[:3, 0]
+        B = V[:3, 1]
+        C = V[:3, 2] * jnp.float32(focal)
+        o = V[:3, 3]
+    rows = jnp.concatenate([A, B, C, o, jnp.ones((1,), jnp.float32),
+                            jnp.zeros((3,), jnp.float32)])
+    cam = jnp.broadcast_to(rows[:, None], (CAM_ROWS, tile_r))
+    ti = jnp.arange(n_tiles, dtype=jnp.int32)
+    px0 = (ti % tiles_x) * tile_px - (width // 2)
+    py0 = (ti // tiles_x) * tile_px - (height // 2)
+    return cam, jnp.stack([px0, py0], axis=-1)
+
+
+def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
+                      TILE_R: int):
+    """Kernel preamble for the iota path: per-frame constant rows ``cam``
+    [16, T] + the tile's integer pixel origin -> the walk operand (same
+    tail as _build_feats)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_R), 1)
+    fx = (px0 + lane % tpx).astype(jnp.float32)
+    fy = (py0 + lane // tpx).astype(jnp.float32)
+    dx = fx * cam[0:1] + fy * cam[3:4] + cam[6:7]
+    dy = fx * cam[1:2] + fy * cam[4:5] + cam[7:8]
+    dz = fx * cam[2:3] + fy * cam[5:6] + cam[8:9]
+    ox, oy, oz = cam[9:10], cam[10:11], cam[11:12]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    one = cam[12:13]
+    F10 = jnp.concatenate([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=0)
+    return _stack_bands(F10, prec, parts, TILE_R)
 
 
 def _step_quad(Gs, Ft, prec: str):
@@ -466,7 +543,7 @@ def _mt_epilogue_t(quad, base, BS, eps):
 
 def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                       resident: bool, KW: int, fetch: bool, od_parts: int,
-                      plan_ref, Ft_ref, G, *rest):
+                      iota_tpx: int, plan_ref, Ft_ref, G, *rest):
     if fetch:
         At, t_ref, idx_ref, attr_ref, *scratch = rest
     else:
@@ -475,10 +552,16 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
     i = pl.program_id(0)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
-    Ft = Ft_ref[0]                        # [F_DIM, TILE_R] (or OD rows)
-    TILE_R = Ft.shape[1]
-    if od_parts:
-        Ft = _build_feats(Ft, prec, od_parts, TILE_R)
+    if iota_tpx:
+        cam = Ft_ref[...]                 # [CAM_ROWS, TILE_R] constant rows
+        TILE_R = cam.shape[1]
+        Ft = _build_feats_iota(cam, plan_ref[i, 4], plan_ref[i, 5],
+                               iota_tpx, prec, od_parts, TILE_R)
+    else:
+        Ft = Ft_ref[0]                    # [F_DIM, TILE_R] (or OD rows)
+        TILE_R = Ft.shape[1]
+        if od_parts:
+            Ft = _build_feats(Ft, prec, od_parts, TILE_R)
     gbuf, sem_g = scratch if scratch else (None, None)
 
     if not resident and not _SYNC_DMA:
@@ -1090,17 +1173,22 @@ _chunk_tiles = _ray_major._chunk_tiles
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
                                              "prec", "res", "groups",
-                                             "od_parts"))
+                                             "od_parts", "iota_tpx"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                     prec: str = None, res: bool = None, groups: int = 1,
-                    At=None, od_parts: int = 0):
+                    At=None, od_parts: int = 0, cam=None, iota_tpx: int = 0):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
     -> (t [n,tile], idx [n,tile]).  ``od_parts`` != 0: Ft instead carries
     the 8 o/d ray rows (ray_tile_od) and the kernel builds the walk
     operand in VMEM (_build_feats: the od_parts-band bf16 stack for
     prec="stack", the 16-row f32 block otherwise) — skipping the
     store-bound XLA materialization of the stacked features.
-    ``prec``: tri|highest|default (None ->
+    ``cam``/``iota_tpx`` != 0 (primary rays): there is NO per-tile ray
+    operand at all — pass Ft=None; the kernel rebuilds features from a
+    lane iota + the [CAM_ROWS, tile] constant-row operand ``cam``
+    (make_cam) and the per-tile pixel origins in plan aux slots 4/5,
+    deleting the per-step ray DMA (od_parts then just carries the band
+    count).  ``prec``: tri|highest|default (None ->
     the SRT_MT_PRECISION default).  ``res``: VMEM-resident geometry (None
     -> auto by size; pass explicitly from already-jitted callers — the env
     var is not part of this function's jit cache key).  ``groups`` > 1
@@ -1109,17 +1197,25 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     additionally one-hot-fetches the winner's packed attribute limbs and
     the return becomes (t, idx, attrs [n, AR, tile] f32)."""
     prec = prec or _mode()
-    n = Ft.shape[0]
+    n = plan.shape[0]
     res = _resident(Gt) if res is None else res
     KW = _kw(block, wb, prec, rows=SUPER_ROWS_RES if res else None)
-    KF = Ft.shape[1]            # contraction rows (16 f32 / stacked bf16 /
-    #                             8 o/d rows when od_parts != 0)
     fetch = At is not None
     assert not fetch or (res and groups == 1), (fetch, res, groups)
     assert not od_parts or groups == 1, (od_parts, groups)
+    assert not iota_tpx or (cam is not None and groups == 1)
+    KF = None if iota_tpx else Ft.shape[1]   # contraction rows (16 f32 /
+    #                             stacked bf16 / 8 o/d rows when od_parts)
 
-    def call(Fc, planc):
-        nl = Fc.shape[0]
+    def call(*chunk):
+        if iota_tpx:
+            (planc,) = chunk
+            Fc = None
+            nl = planc.shape[0]
+        else:
+            Fc, planc = chunk
+            nl = Fc.shape[0]
+        vref = planc if Fc is None else Fc
         scratch = [] if res else [
             pltpu.VMEM((2, Gt.shape[0], KW * wb * 4 * block), Gt.dtype),
             pltpu.SemaphoreType.DMA((2, KW)),
@@ -1131,27 +1227,30 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                        pltpu.VMEM((block, tile), jnp.int32)] + scratch
         else:
             kern = functools.partial(_nearest_kernel_t, block, wb, eps,
-                                     prec, res, KW, fetch, od_parts)
+                                     prec, res, KW, fetch, od_parts,
+                                     iota_tpx)
         tile_spec = pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        in_specs = [
-            pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
-        ]
+        if iota_tpx:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]   # cam rows
+        else:
+            in_specs = [pl.BlockSpec((1, KF, tile), lambda i, *_: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM))
         out_specs = [tile_spec, tile_spec]
         out_shape = [
-            _out_struct((nl, 1, tile), jnp.float32, Fc),
-            _out_struct((nl, 1, tile), jnp.int32, Fc),
+            _out_struct((nl, 1, tile), jnp.float32, vref),
+            _out_struct((nl, 1, tile), jnp.int32, vref),
         ]
-        operands = [planc, Fc, Gt]
+        operands = [planc, cam if iota_tpx else Fc, Gt]
         if fetch:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             out_specs.append(
                 pl.BlockSpec((1, At.shape[0], tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM))
             out_shape.append(
-                _out_struct((nl, At.shape[0], tile), jnp.float32, Fc))
+                _out_struct((nl, At.shape[0], tile), jnp.float32, vref))
             operands.append(At)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1169,7 +1268,10 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
             interpret=_interpret(),
         )(*operands)
 
-    outs = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
+    if iota_tpx:
+        outs = _chunk_tiles(call, n, plan, plan_w=plan.shape[1])
+    else:
+        outs = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
     if fetch:
         t, idx, attrs = outs
         return (t.reshape(n, tile), idx.reshape(n, tile),
@@ -1396,13 +1498,24 @@ def _hit_operand(prep):
 # measured as the fix for the store-bound XLA feature materialization (see
 # ray_tile_od).  SRT_OD_FEAT=0 restores the XLA-side stacked features.
 _OD_FEAT = _os.environ.get("SRT_OD_FEAT", "1") not in ("0", "")
+# Iota feature build for primary rays (no per-tile ray operand at all; see
+# make_cam/_build_feats_iota).  SRT_IOTA_FEAT=0 restores the OD path.
+_IOTA_FEAT = _os.environ.get("SRT_IOTA_FEAT", "1") not in ("0", "")
 
 
-def _operands(prep, prec, origin, direction, tile, max_parts=None):
+def _nr(origin, tile):
+    """(n_tiles, R) without materializing the padded ray arrays."""
+    R = origin.shape[0]
+    return -(-R // tile), R
+
+
+def _operands(prep, prec, origin, direction, tile, max_parts=None,
+              want_ft=True):
     """(G operand, effective precision, Ft, n, R, od_parts) for the
     requested tier: "stack" needs the prepacked gram_s — BlockSet shard
     bundles (dist/ring.py) have none and demote to the runtime-split "tri"
-    path on the f32 gram_t.
+    path on the f32 gram_t.  ``want_ft=False`` (iota-feature callers):
+    skip the ray-operand build entirely and return Ft=None.
 
     For the stack tier with the in-kernel feature build enabled (the
     default), Ft is the [n, 8, tile] o/d row operand and ``od_parts``
@@ -1423,6 +1536,9 @@ def _operands(prep, prec, origin, direction, tile, max_parts=None):
             parts = max_parts
             rows = -(-(10 * parts) // 16) * 16
             gs = gs[:rows]
+        if not want_ft:
+            n, R = _nr(origin, tile)
+            return gs, "stack", None, n, R, parts
         if _OD_FEAT:
             OD, n, R = ray_tile_od(origin, direction, tile)
             return gs, "stack", OD, n, R, parts
@@ -1430,17 +1546,40 @@ def _operands(prep, prec, origin, direction, tile, max_parts=None):
         return gs, "stack", Ft, n, R, 0
     if prec == "stack":
         prec = "tri"
+    if not want_ft:
+        n, R = _nr(origin, tile)
+        return prep.gram_t, prec, None, n, R, 0
     Ft, n, R = ray_tile_features_t(origin, direction, tile)
     return prep.gram_t, prec, Ft, n, R, 0
 
 
+def _use_iota(cam_spec, apex, groups, maxv, tile):
+    if not (_IOTA_FEAT and cam_spec is not None and apex and groups == 1
+            and maxv > 0):
+        return False
+    tpx = cam_spec[4]
+    return tpx * tpx == tile
+
+
+def _iota_plan_cam(plan, cam_spec, n, tile):
+    """(plan with pixel origins in aux 4/5, cam rows) for the iota path."""
+    vmx, focal, wd, hd, tpx = cam_spec
+    tiles_x = -(-wd // tpx)
+    cam, txy = make_cam(vmx, focal, wd, hd, tpx, n, tiles_x, tile)
+    plan = plan.at[:, 4].set(txy[:, 0]).at[:, 5].set(txy[:, 1])
+    return plan, cam
+
+
 def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
-         apex: bool = False):
+         apex: bool = False, cam_spec=None):
     """Nearest hit over flat rays.  Returns (t [R], idx [R]).
 
     Default: single walk at the "stack" one-pass K-stacked tier (see
     _MODE).  ``apex``: rays share one origin — enables the projective
-    pixel-space cull (tiled._visibility_px).  With the prepass enabled
+    pixel-space cull (tiled._visibility_px).  ``cam_spec`` (primary rays
+    in tile-major order only): (view_matrix|None, focal, W, H, tile_px) —
+    enables the in-kernel iota feature build (make_cam; no per-tile ray
+    operand at all).  With the prepass enabled
     (SRT_TILED_PREPASS=1) this is instead the two-pass ORACLE-EXACT
     pipeline: DEFAULT-precision classification walks the full plan, then a
     HIGHEST-precision kernel reruns only the flagged windows —
@@ -1458,8 +1597,10 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
                                  prec="highest", res=res)
     else:
         groups = _groups_for(tile) if maxv > 0 else 1
+        iota = _use_iota(cam_spec, apex, groups, maxv, tile)
         G, prec, Ft, n, R, odp = _operands(prep, _mode(), origin,
-                                           direction, tile)
+                                           direction, tile,
+                                           want_ft=not iota)
         if odp and groups > 1:   # grouped kernel has no od preamble
             Ft, n, R = ray_tile_features_stacked(origin, direction, tile,
                                                  odp)
@@ -1467,15 +1608,20 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
         res = _resident(G)
         plan = cull(prep, origin, direction, tile, maxv, groups=groups,
                     apex=apex)
+        cam = None
+        tpx = 0
+        if iota:
+            plan, cam = _iota_plan_cam(plan, cam_spec, n, tile)
+            tpx = cam_spec[4]
         t, idx = tiled_nearest_t(Ft, plan, G, tile,
                                  prep.block_size, WINDOW_BLOCKS, eps,
                                  prec=prec, res=res, groups=groups,
-                                 od_parts=odp)
+                                 od_parts=odp, cam=cam, iota_tpx=tpx)
     return t.reshape(-1)[:R], idx.reshape(-1)[:R]
 
 
 def hits_attrs(prep, origin, direction, tile: int, eps: float,
-               maxv: int = 248, apex: bool = False):
+               maxv: int = 248, apex: bool = False, cam_spec=None):
     """Nearest hit + in-kernel shade-attribute fetch over flat rays.
 
     Returns (t [R], idx [R], attrs [R, AR] f32) where attrs carries the
@@ -1483,14 +1629,21 @@ def hits_attrs(prep, origin, direction, tile: int, eps: float,
     integrator.records_from_attrs decodes).  Requires prep.has_attr and a
     VMEM-resident operand; callers fall back to hits() + the XLA record
     gather otherwise."""
+    iota = _use_iota(cam_spec, apex, 1, maxv, tile)
     G, prec, Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
-                                       tile)
+                                       tile, want_ft=not iota)
     res = _resident(G)
     assert prep.has_attr and res, (prep.has_attr, res)
     plan = cull(prep, origin, direction, tile, maxv, apex=apex)
+    cam = None
+    tpx = 0
+    if iota:
+        plan, cam = _iota_plan_cam(plan, cam_spec, n, tile)
+        tpx = cam_spec[4]
     t, idx, attrs = tiled_nearest_t(Ft, plan, G, tile, prep.block_size,
                                     WINDOW_BLOCKS, eps, prec=prec, res=res,
-                                    At=prep.attr_t, od_parts=odp)
+                                    At=prep.attr_t, od_parts=odp,
+                                    cam=cam, iota_tpx=tpx)
     attrs = attrs.transpose(0, 2, 1).reshape(-1, attrs.shape[1])
     return t.reshape(-1)[:R], idx.reshape(-1)[:R], attrs[:R]
 

@@ -198,8 +198,15 @@ def render_radiance(scene, cfg: RenderConfig, light_pos, view_matrix=None
                 scene, cfg, oo, dd, light_pos)
         else:
             from ..kernels import tiled
+            # primary rays come straight from primary_rays_tiled below, so
+            # the kernel may rebuild them from iota (cam_spec); disabled
+            # when directions are normalized (the rebuild is affine)
+            cam_spec = None
+            if cfg.mode == "tiled" and not cam.normalize_dirs:
+                cam_spec = (view_matrix, cam.focal, cam.width, cam.height,
+                            tpx)
             body = lambda oo, dd: tiled.render_flat_tiled(
-                scene, cfg, oo, dd, light_pos)
+                scene, cfg, oo, dd, light_pos, cam_spec=cam_spec)
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
     H, W = cam.height, cam.width

@@ -180,3 +180,47 @@ def test_attr_fetch_matches_gather(monkeypatch):
     monkeypatch.setenv("SRT_ATTR_FETCH", "0")
     img_gather = np.asarray(render(scene, cfg, light))
     assert np.array_equal(img_fetch, img_gather)
+
+
+def test_hits_iota_features_match_od_path():
+    """The iota feature build (make_cam + _build_feats_iota: no per-tile
+    ray operand) must reproduce the OD-path hits BIT-EXACTLY for the
+    identity view (d rows rebuild as exactly (i, j, focal)), and match
+    hits/indices for a real orbit view (dot-product rounding differs from
+    XLA's [R,3]@[3,3] matmul only in the last ulp)."""
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+    from simple_raytracer_tpu.scene.catalog import orbit_view
+
+    scene = _scene()
+    prep = prepare(scene, default_config().replace(mode="tiled"))
+    W, H, tpx = 96, 64, 16
+    tile = tpx * tpx
+
+    o, d, _, _ = primary_rays_tiled(W, H, tpx, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    t0, i0 = jax.jit(lambda p, o, d: tiled_t.hits(
+        p, o, d, tile, 1e-12, 248, apex=True))(prep, o, d)
+    t1, i1 = jax.jit(lambda p, o, d: tiled_t.hits(
+        p, o, d, tile, 1e-12, 248, apex=True,
+        cam_spec=(None, 400.0, W, H, tpx)))(prep, o, d)
+    m0 = np.isfinite(np.asarray(t0))
+    assert m0.sum() > 100            # scene visible
+    np.testing.assert_array_equal(np.asarray(t0)[m0], np.asarray(t1)[m0])
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    V = orbit_view(30.0, 50.0, -50.0, 30.0, 90.0)
+    o2, d2, _, _ = primary_rays_tiled(W, H, tpx, 400.0, False,
+                                      view_matrix=V)
+    o2, d2 = o2.reshape(-1, 3), d2.reshape(-1, 3)
+    t2, i2 = jax.jit(lambda p, o, d: tiled_t.hits(
+        p, o, d, tile, 1e-12, 248, apex=True))(prep, o2, d2)
+    t3, i3 = jax.jit(lambda p, o, d, V: tiled_t.hits(
+        p, o, d, tile, 1e-12, 248, apex=True,
+        cam_spec=(V, 400.0, W, H, tpx)))(
+            prep, o2, d2, jnp.asarray(V, jnp.float32))
+    m2, m3 = np.isfinite(np.asarray(t2)), np.isfinite(np.asarray(t3))
+    assert (m2 == m3).mean() > 0.999
+    both = m2 & m3
+    np.testing.assert_allclose(np.asarray(t2)[both], np.asarray(t3)[both],
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(i2) == np.asarray(i3)).mean() > 0.999
