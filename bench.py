@@ -112,10 +112,27 @@ def run_golden_agreement() -> dict:
     both = ~obg & ~rbg
     sil = float((obg == rbg).mean())
     fg2 = float((np.abs(ours - ref).max(-1)[both] <= 2).mean())
-    return {
+    out = {
         "golden_tiled_silhouette": round(sil, 5),
         "golden_tiled_fg_tol2": round(fg2, 4),   # ~0.85: gap = the absent
     }                                            # cats + their shadows
+    # Masked tripwire (VERDICT r3 weak #5): docs/golden_cat_mask.png is
+    # the FROZEN known-gap footprint (missing cats + their shadows, plus
+    # tol-2 LSB speckle on the tree textures and bunny shading vs the
+    # author's MSVC build), generated once from the round-4 bvh/CPU render
+    # and dilated 2 px.  Agreement OUTSIDE it is ~1.0, so a real shading
+    # regression of any size moves this number; the unmasked metric's 15%
+    # permanent slack could hide one.
+    try:
+        mask = np.asarray(Image.open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs/golden_cat_mask.png"))) > 127
+        keep = both & ~mask
+        fg2m = float((np.abs(ours - ref).max(-1)[keep] <= 2).mean())
+        out["golden_tiled_fg_tol2_masked"] = round(fg2m, 4)
+    except Exception as e:              # noqa: BLE001
+        print(f"# golden mask unavailable: {e!r}", file=sys.stderr)
+    return out
 
 
 def run_once(mode: str, width: int, height: int, frames: int,

@@ -140,3 +140,31 @@ if "cull" in variants:
         plan = tiled_t.cull(prep, oo, dd, TILE, MAXV, apex=True)
         return plan.astype(jnp.float32).sum() + lp.sum() * 0
     timeit("cull", cull_only)
+
+
+if "attrs_stages" in variants and getattr(prep, "has_attr", False):
+    # decomposition inside the attrs path: nearest+fetch only, then +occl
+    def attrs_noocc(V, lp):
+        oo, dd = rays(V)
+        t, idx, attrs = tiled_t.hits_attrs(prep, oo, dd, TILE, cfg.mt_eps,
+                                           MAXV, apex=True,
+                                           cam_spec=(V, FOCAL, W, H, tpx))
+        return (jnp.where(jnp.isfinite(t), t, 0.).sum()
+                + attrs.sum() + lp.sum() * 0)
+    timeit("attrs_noocc", attrs_noocc)
+
+    def attrs_noshade(V, lp):
+        oo, dd = rays(V)
+        t, idx, attrs = tiled_t.hits_attrs(prep, oo, dd, TILE, cfg.mt_eps,
+                                           MAXV, apex=True,
+                                           cam_spec=(V, FOCAL, W, H, tpx))
+        record = integ.records_from_attrs(prep.scene, attrs)
+        hitm = jnp.isfinite(t)
+        point = jnp.where(hitm[:, None], oo + t[:, None] * dd, 0.0)
+        shadow_fn = tiled.tiled_shadow_fn(prep, TILE, cfg.mt_eps, MAXV,
+                                          cfg.light.shadow_no_max_t, 1,
+                                          impl=tiled_t)
+        s = shadow_fn(point, jnp.broadcast_to(lp, point.shape),
+                      record["obj"], hit=hitm)
+        return jnp.where(hitm, jnp.where(s, t * 0.2, t), 0.).sum()
+    timeit("attrs_noshade", attrs_noshade)

@@ -90,6 +90,57 @@ class BVHConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Measured-winning Pallas kernel tuning (the TPU-native analog of the
+    reference's compile-time constants; every value is a hardware
+    measurement recorded in DESIGN.md rounds 2-4).
+
+    These are the SHIPPED defaults: a fresh process with no environment
+    reproduces the BENCH numbers from this dataclass alone.  Each field
+    can still be overridden per-process by its SRT_* env var (listed per
+    field) — env wins over config, for measurement sweeps; the kernel
+    modules read the env exactly once at import.  tests/test_gates.py pins
+    the correspondence.
+    """
+
+    # MT contraction tier: "stack" = one-pass K-stacked bf16 emulation
+    # (f32-grade, DESIGN.md round 3: nearest 56.9 -> 34.8 ms vs "tri");
+    # "tri" = 3-pass runtime split; "highest" = bit-exact ~6-pass.
+    # Env: SRT_MT_PRECISION.
+    mt_precision: str = "stack"
+    # Super-step rows (streaming / VMEM-resident / resident any-hit).
+    # 2048 won every round-3 retune point (512: 52.4, 2048: 34.1,
+    # 4096: 34.7 ms nearest @16px).  Env: SRT_TILED_SUPER_ROWS[_RES|_AH].
+    super_rows: int = 2048
+    super_rows_res: int = 2048
+    super_rows_ah: int = 2048
+    # Aligned fetch-window width in cull blocks: nearest keeps WB=2
+    # (front-to-back break rewards tight lists), any-hit WB=4 (no break,
+    # fewer descriptors).  Env: SRT_TILED_WB / SRT_TILED_WB_AH.
+    window_blocks: int = 2
+    window_blocks_ah: int = 4
+    # In-kernel ray-feature builds: od_feat (OD rows -> features in VMEM;
+    # round-3 fix for the store-bound XLA stacked-feature materialization)
+    # and iota_feat (primary rays rebuilt from a lane iota — no per-tile
+    # ray operand at all; round 4).  Env: SRT_OD_FEAT / SRT_IOTA_FEAT.
+    od_feat: bool = True
+    iota_feat: bool = True
+    # In-kernel winner-attribute fetch (exact bf16-limb transport) instead
+    # of the [R, K] XLA record gather, for flat-untextured scenes.  The
+    # round-4 HONEST A/B: full frame 58.7 (gather) vs 18.2 ms (fetch).
+    # Env: SRT_ATTR_FETCH.
+    attr_fetch: bool = True
+    # VMEM-resident geometry threshold (gram operand bytes).
+    # Env: SRT_TILED_RESIDENT_MB / SRT_TILED_RESIDENT=0.
+    resident_mb: int = 64
+    # Projective cull composition for apex tiles: "and" = px test refines
+    # the interval test (default; "only" is plan-equivalent and ~6 ms
+    # cheaper isolated but degraded the round-3 full-frame schedule
+    # 39 -> 145 ms — see DESIGN.md round-3 negatives).  Env: SRT_PX_MODE.
+    px_mode: str = "and"
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Top-level render configuration."""
 
@@ -97,6 +148,7 @@ class RenderConfig:
     light: LightConfig = dataclasses.field(default_factory=LightConfig)
     shading: ShadingConfig = dataclasses.field(default_factory=ShadingConfig)
     bvh: BVHConfig = dataclasses.field(default_factory=BVHConfig)
+    kernel: KernelConfig = dataclasses.field(default_factory=KernelConfig)
 
     # 'bruteforce' — all ray×triangle pairs (jnp oracle, differentiable)
     # 'bvh'        — stackless flattened-BVH traversal in jnp (lax.while_loop)

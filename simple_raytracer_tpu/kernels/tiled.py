@@ -211,7 +211,8 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     # interval ops absent (reproduced 4x; plan bytes near-identical, so
     # it is a scheduling pathology around the pallas calls, not data).
     # Kept as a measurement knob until that is understood.
-    _PX_MODE = _os.environ.get("SRT_PX_MODE", "and")
+    from ..config import KernelConfig
+    _PX_MODE = _os.environ.get("SRT_PX_MODE", KernelConfig().px_mode)
     if apex and _PX_MODE == "only":
         vis_fn = _visibility_px
     elif hourglass:
@@ -1457,7 +1458,9 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                 and not _t._prepass_on() and cfg.cull_maxv > 0
                 and _t._groups_for(htile) == 1
                 and _t._resident(_t._hit_operand(prep))
-                and _os.environ.get("SRT_ATTR_FETCH", "1") not in ("0",))
+                and _os.environ.get(
+                    "SRT_ATTR_FETCH",
+                    "1" if cfg.kernel.attr_fetch else "0") not in ("0",))
     cspec = cam_spec if impl is _t else None
     if fetch_ok:
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,

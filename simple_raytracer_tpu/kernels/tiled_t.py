@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import RenderConfig
+from ..config import KernelConfig, RenderConfig
+
+# Shipped kernel-tuning defaults (cited hardware measurements live on the
+# dataclass, config.py).  SRT_* env vars override per-process, read ONCE
+# at import; tests/test_gates.py pins the correspondence.
+_KCFG = KernelConfig()
 from ..ops import intersect as isect
 from ..render import integrator
 from ..utils import pad_rays
@@ -59,7 +64,8 @@ _interpret = _ray_major._interpret
 
 # Windows per super-step (KW DMA descriptors, one contraction).  ROWS of the
 # Gram operand per step = SUPER_ROWS = KW * WB * 4 * block_size.
-SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
+SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS",
+                                 str(_KCFG.super_rows)))
 # Any-hit super-step rows for VMEM-RESIDENT scenes.  The any-hit walk is
 # matmul-ISSUE bound, not FLOP bound (complex@180 round-2 ablation:
 # loop+slices 12.6 ms, +matmuls 64.1, +predicate 66.0), so round 2 tuned
@@ -67,14 +73,16 @@ SUPER_ROWS = int(_os.environ.get("SRT_TILED_SUPER_ROWS", "2048"))
 # 56.2).  The round-3 projective shadow plans flipped it back: lists are
 # short enough that step padding dominates — 2048 wins on BOTH scenes
 # (bunny frame 24.7 vs 24.9 @4096; complex frame 52.1 vs 55.2 @8192).
-SUPER_ROWS_AH = int(_os.environ.get("SRT_TILED_SUPER_ROWS_AH", "2048"))
+SUPER_ROWS_AH = int(_os.environ.get("SRT_TILED_SUPER_ROWS_AH",
+                                    str(_KCFG.super_rows_ah)))
 # Nearest-query super-step rows for VMEM-RESIDENT scenes: the per-window
 # split stays (bunny hits: split 62.2 vs concat 64.2 at 4096).  Round-2
 # tuning picked 4096 (fewer loop iterations at interval-cull list
 # lengths); with the round-3 projective plans (~2.7 windows/16px tile,
 # ~10/64px) 2048 wins at BOTH tile gates: 64px nearest 19.8 @2048 vs
 # 21.4 @4096 / 26.4 @8192; 16px 34.1 vs 34.7 (scripts/stack_sweep.py).
-SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES", "2048"))
+SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES",
+                                     str(_KCFG.super_rows_res)))
 # Window width in cull blocks (the aligned fetch/cull unit).  1 = per-block
 # fetches (tightest culling: ~807 tris/ray on the bench scene vs ~1990 at
 # 128-tri pages, scripts/cull_stats.py — but the most descriptors).  DMA
@@ -82,8 +90,10 @@ SUPER_ROWS_RES = int(_os.environ.get("SRT_TILED_SUPER_ROWS_RES", "2048"))
 # two query types tune separately: NEAREST keeps WB=2 (front-to-back early
 # break rewards tighter lists: 153 vs 175 ms at WB=4 on the bench scene);
 # ANY-HIT has no ordering gain and takes WB=4 (36 vs 65 ms at WB=2).
-WINDOW_BLOCKS = int(_os.environ.get("SRT_TILED_WB", "2"))
-WINDOW_BLOCKS_AH = int(_os.environ.get("SRT_TILED_WB_AH", "4"))
+WINDOW_BLOCKS = int(_os.environ.get("SRT_TILED_WB",
+                                    str(_KCFG.window_blocks)))
+WINDOW_BLOCKS_AH = int(_os.environ.get("SRT_TILED_WB_AH",
+                                       str(_KCFG.window_blocks_ah)))
 
 # --- bf16 prepass -----------------------------------------------------------
 # The HIGHEST-precision contraction is ~6 bf16 MXU passes and dominates the
@@ -274,7 +284,7 @@ def _win_wait(G_hbm, gbuf, sem_g, start, slot, j, BS, WB, KW):
 # In interpret mode (CPU tests) stack/tri map to HIGHEST: the CPU f32
 # matmul is exact, so split emulation would only ADD error and break the
 # bit-equality tests vs the paged kernel.
-_MODE = _os.environ.get("SRT_MT_PRECISION", "stack").lower()
+_MODE = _os.environ.get("SRT_MT_PRECISION", _KCFG.mt_precision).lower()
 
 
 def _mode() -> str:
@@ -504,7 +514,8 @@ def _step_quad(Gs, Ft, prec: str):
 # copies off dynamic 128-aligned lane slices: no descriptors, no
 # semaphores, no double buffering.  Larger scenes fall back to the DMA
 # path automatically.
-RES_LIMIT_MB = int(_os.environ.get("SRT_TILED_RESIDENT_MB", "64"))
+RES_LIMIT_MB = int(_os.environ.get("SRT_TILED_RESIDENT_MB",
+                                   str(_KCFG.resident_mb)))
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
@@ -1497,10 +1508,12 @@ def _hit_operand(prep):
 # In-kernel feature build (ray_tile_od + _build_feats) for the stack tier:
 # measured as the fix for the store-bound XLA feature materialization (see
 # ray_tile_od).  SRT_OD_FEAT=0 restores the XLA-side stacked features.
-_OD_FEAT = _os.environ.get("SRT_OD_FEAT", "1") not in ("0", "")
+_OD_FEAT = _os.environ.get(
+    "SRT_OD_FEAT", "1" if _KCFG.od_feat else "0") not in ("0", "")
 # Iota feature build for primary rays (no per-tile ray operand at all; see
 # make_cam/_build_feats_iota).  SRT_IOTA_FEAT=0 restores the OD path.
-_IOTA_FEAT = _os.environ.get("SRT_IOTA_FEAT", "1") not in ("0", "")
+_IOTA_FEAT = _os.environ.get(
+    "SRT_IOTA_FEAT", "1" if _KCFG.iota_feat else "0") not in ("0", "")
 
 
 def _nr(origin, tile):
