@@ -168,3 +168,10 @@ if "attrs_stages" in variants and getattr(prep, "has_attr", False):
                       record["obj"], hit=hitm)
         return jnp.where(hitm, jnp.where(s, t * 0.2, t), 0.).sum()
     timeit("attrs_noshade", attrs_noshade)
+
+
+if "full_fused" in variants and getattr(prep, "has_attr", False):
+    os.environ["SRT_ATTR_FETCH"] = "1"
+    os.environ["SRT_FUSED_PHONG"] = "1"
+    run_full("full_fused")
+    os.environ["SRT_FUSED_PHONG"] = "0"

@@ -133,6 +133,13 @@ class KernelConfig:
     # VMEM-resident geometry threshold (gram operand bytes).
     # Env: SRT_TILED_RESIDENT_MB / SRT_TILED_RESIDENT=0.
     resident_mb: int = 64
+    # Fused in-kernel Phong for flat-untextured S=1 scenes: the nearest
+    # kernel's epilogue computes the reference's full Phong term
+    # (simple_raytracer.cpp:144-200) from the fetched winner attributes
+    # and the iota ray rows, leaving only the elementwise shadow dim +
+    # tonemap outside.  Default off until the hardware A/B lands.
+    # Env: SRT_FUSED_PHONG.
+    fused_phong: bool = False
     # Projective cull composition for apex tiles: "and" = px test refines
     # the interval test (default; "only" is plan-equivalent and ~6 ms
     # cheaper isolated but degraded the round-3 full-frame schedule

@@ -1462,6 +1462,41 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                     "SRT_ATTR_FETCH",
                     "1" if cfg.kernel.attr_fetch else "0") not in ("0",))
     cspec = cam_spec if impl is _t else None
+    # FUSED in-kernel Phong (round 4): for flat-untextured S=1 scenes the
+    # kernel's epilogue computes the full Phong term itself, so the frame
+    # has NO ray-sized XLA shading work left — only the elementwise shadow
+    # dim + tonemap.  Requires the attr-fetch + iota preconditions.
+    fused_ok = (fetch_ok and cspec is not None
+                and cfg.light.num_samples == 1
+                and not cfg.shading.smooth_normals
+                and _t._use_iota(cspec, True, 1, cfg.cull_maxv, htile)
+                and _os.environ.get(
+                    "SRT_FUSED_PHONG",
+                    "1" if cfg.kernel.fused_phong else "0") not in ("0",))
+    if fused_ok:
+        from ..ops import shading as _sh
+        t, tri_idx, objv, rgb = _t.hits_shaded(
+            prep, origin, direction, htile, cfg.mt_eps, light_pos,
+            jnp.asarray(cfg.light.color, jnp.float32), cfg.cull_maxv,
+            cspec, cfg.shading.double_sided_diffuse,
+            cfg.shading.specular_nl_factor)
+        hitm = jnp.isfinite(t)
+        if cfg.light.enable_shadows and prep.scene.obj_color.shape[0] > 1:
+            tsafe = jnp.where(hitm, t, 0.0)
+            point = jnp.where(hitm[:, None],
+                              origin + tsafe[:, None] * direction, 0.0)
+            stile = _shadow_tile(cfg, tile, prep)
+            shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps,
+                                        cfg.cull_maxv,
+                                        cfg.light.shadow_no_max_t, 1,
+                                        impl=impl)
+            s = shadow_fn(point, jnp.broadcast_to(light_pos, point.shape),
+                          objv, hit=hitm)
+            rgb = jnp.where(s[:, None], rgb / cfg.light.shadow_dim, rgb)
+        if cfg.shading.tonemap_enabled:
+            rgb = _sh.tonemap(rgb, cfg.shading.reinhard_offset,
+                              cfg.shading.gamma)
+        return rgb, hitm
     if fetch_ok:
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
                                           cfg.mt_eps, cfg.cull_maxv,

@@ -434,12 +434,20 @@ CAM_ROWS = 16
 
 
 def make_cam(view_matrix, focal: float, width: int, height: int,
-             tile_px: int, n_tiles: int, tiles_x: int, tile_r: int):
-    """Build the iota-feature operands: (cam [16, tile_r] f32 constant rows,
-    tile_xy [n_tiles, 2] i32 pixel origins).
+             tile_px: int, n_tiles: int, tiles_x: int, tile_r: int,
+             shade=None):
+    """Build the iota-feature operands: (cam [ROWS, tile_r] f32 constant
+    rows, tile_xy [n_tiles, 2] i32 pixel origins).
 
     cam rows: 0-2 = A (dx,dy,dz coefficient of fx), 3-5 = B (of fy),
-    6-8 = C (constant term), 9-11 = origin o, 12 = ones, 13-15 = zero pad.
+    6-8 = C (constant term), 9-11 = origin o, 12 = ones, 13-15 = light
+    position (fused shading only; zeros otherwise).  With ``shade`` =
+    (light_pos [3], light_color [3], obj_color [O,3], obj_ambient [O],
+    obj_specular [O], obj_shininess [O]) — the fused-Phong operand — 8
+    more rows follow per object: premultiplied diffuse color
+    (1/pi * color * light_color, 3), premultiplied specular
+    (spec * light_color, 3), ambient strength (1), shininess (1); see
+    the fused epilogue in _nearest_kernel_t.
     tile_xy row i = (px0 - W//2, py0 - H//2) for tile i in the row-major
     tile-grid order of primary_rays_tiled."""
     if view_matrix is None:
@@ -453,9 +461,26 @@ def make_cam(view_matrix, focal: float, width: int, height: int,
         B = V[:3, 1]
         C = V[:3, 2] * jnp.float32(focal)
         o = V[:3, 3]
-    rows = jnp.concatenate([A, B, C, o, jnp.ones((1,), jnp.float32),
-                            jnp.zeros((3,), jnp.float32)])
-    cam = jnp.broadcast_to(rows[:, None], (CAM_ROWS, tile_r))
+    parts = [A, B, C, o, jnp.ones((1,), jnp.float32)]
+    if shade is None:
+        parts.append(jnp.zeros((3,), jnp.float32))
+    else:
+        light_pos, light_color, oc, oa, osp, osh = shade
+        inv_pi = jnp.float32(1.0 / jnp.pi)
+        lc = jnp.asarray(light_color, jnp.float32)
+        parts.append(jnp.asarray(light_pos, jnp.float32))
+        O = oc.shape[0]
+        for k in range(O):
+            parts.append(inv_pi * oc[k] * lc)           # pc [3]
+            parts.append(osp[k] * lc)                   # sc [3]
+            parts.append(oa[k][None])                   # amb [1]
+            parts.append(osh[k][None])                  # shin [1]
+    rows = jnp.concatenate(parts)
+    nrows = -(-rows.shape[0] // 8) * 8
+    if nrows > rows.shape[0]:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((nrows - rows.shape[0],), jnp.float32)])
+    cam = jnp.broadcast_to(rows[:, None], (rows.shape[0], tile_r))
     ti = jnp.arange(n_tiles, dtype=jnp.int32)
     px0 = (ti % tiles_x) * tile_px - (width // 2)
     py0 = (ti // tiles_x) * tile_px - (height // 2)
@@ -463,10 +488,11 @@ def make_cam(view_matrix, focal: float, width: int, height: int,
 
 
 def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
-                      TILE_R: int):
+                      TILE_R: int, want_od: bool = False):
     """Kernel preamble for the iota path: per-frame constant rows ``cam``
-    [16, T] + the tile's integer pixel origin -> the walk operand (same
-    tail as _build_feats)."""
+    [ROWS, T] + the tile's integer pixel origin -> the walk operand (same
+    tail as _build_feats).  ``want_od``: also return the raw
+    (dx, dy, dz, ox, oy, oz) [1, T] rows for the fused-Phong epilogue."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_R), 1)
     fx = (px0 + lane % tpx).astype(jnp.float32)
     fy = (py0 + lane // tpx).astype(jnp.float32)
@@ -479,7 +505,70 @@ def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
     cz = ox * dy - oy * dx
     one = cam[12:13]
     F10 = jnp.concatenate([dx, dy, dz, cx, cy, cz, ox, oy, oz, one], axis=0)
-    return _stack_bands(F10, prec, parts, TILE_R)
+    Fs = _stack_bands(F10, prec, parts, TILE_R)
+    if want_od:
+        return Fs, (dx, dy, dz, ox, oy, oz)
+    return Fs
+
+
+def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
+                 double_sided: bool, specular_nl: bool):
+    """In-kernel Phong epilogue on [1, T] rows (fused shading for
+    flat-untextured common-apex scenes; ops/shading.py:phong is the
+    oracle, simple_raytracer.cpp:144-200 the reference).
+
+    Inputs: cam constant rows (light at 13-15, per-object material rows
+    from 16 — see make_cam), the ray rows from the iota preamble, the
+    walk's best (t, id), and the attribute-fetch accumulator ``acc``
+    [AR, T] (limb l of attribute a at row l*ATTR_N + a).  Returns
+    [4, T]: pre-tonemap unshadowed RGB + the winner's object id (the
+    occlusion pass's self-skip input).  Misses (id -1) produce garbage
+    rows that the caller masks — t is pinned to 0 first so no inf*0 NaN
+    can leak into a debug_nans run."""
+    from ..accel.prepared import ATTR_N
+    dx, dy, dz, ox, oy, oz = od_rows
+    # exact limb decode (ordered magnitudes; see pack_attr_stacked_np)
+    v = [acc[a:a + 1] + acc[ATTR_N + a:ATTR_N + a + 1]
+         + acc[2 * ATTR_N + a:2 * ATTR_N + a + 1] for a in range(ATTR_N)]
+    nx, ny, nz, objf = v
+    t = jnp.where(jnp.isfinite(bt), bt, 0.0)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    lx = cam[13:14] - px
+    ly = cam[14:15] - py
+    lz = cam[15:16] - pz
+    li = jax.lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-30))
+    lx, ly, lz = lx * li, ly * li, lz * li
+    nl = nx * lx + ny * ly + nz * lz
+    nla = jnp.abs(nl) if double_sided else jnp.maximum(nl, 0.0)
+    di = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+    vx, vy, vz = -dx * di, -dy * di, -dz * di
+    # glm::reflect(-l, n) = -l - 2*(n . -l)*n = -l + 2*nl*n
+    rx = -lx + 2.0 * nl * nx
+    ry = -ly + 2.0 * nl * ny
+    rz = -lz + 2.0 * nl * nz
+    rv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+    # per-object material rows (premultiplied, make_cam): unrolled select
+    pc = [jnp.zeros_like(nl)] * 3
+    sc = [jnp.zeros_like(nl)] * 3
+    amb = jnp.zeros_like(nl)
+    shin = jnp.zeros_like(nl)
+    for k in range(n_obj):
+        r0 = CAM_ROWS + 8 * k
+        m = objf == jnp.float32(k)
+        pc = [jnp.where(m, cam[r0 + c:r0 + c + 1], pc[c]) for c in range(3)]
+        sc = [jnp.where(m, cam[r0 + 3 + c:r0 + 4 + c], sc[c])
+              for c in range(3)]
+        amb = jnp.where(m, cam[r0 + 6:r0 + 7], amb)
+        shin = jnp.where(m, cam[r0 + 7:r0 + 8], shin)
+    # rv ** shin via exp/log (rv >= 0; 0 ** s = 0 for s > 0)
+    pw = jnp.where(rv > 0.0, jnp.exp(shin * jnp.log(jnp.maximum(rv, 1e-38))),
+                   0.0)
+    nl_f = nla if specular_nl else jnp.float32(1.0)
+    spec_w = nl_f * pw
+    rgb = [pc[c] * (nla + amb) + sc[c] * spec_w for c in range(3)]
+    return jnp.concatenate(rgb + [objf], axis=0)
 
 
 def _step_quad(Gs, Ft, prec: str):
@@ -554,7 +643,7 @@ def _mt_epilogue_t(quad, base, BS, eps):
 
 def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                       resident: bool, KW: int, fetch: bool, od_parts: int,
-                      iota_tpx: int, plan_ref, Ft_ref, G, *rest):
+                      iota_tpx: int, fused, plan_ref, Ft_ref, G, *rest):
     if fetch:
         At, t_ref, idx_ref, attr_ref, *scratch = rest
     else:
@@ -563,11 +652,15 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
     i = pl.program_id(0)
     cnt, start, use_list, bound16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
+    od_rows = None
     if iota_tpx:
-        cam = Ft_ref[...]                 # [CAM_ROWS, TILE_R] constant rows
+        cam = Ft_ref[...]                 # [CAM_ROWS+, TILE_R] constant rows
         TILE_R = cam.shape[1]
         Ft = _build_feats_iota(cam, plan_ref[i, 4], plan_ref[i, 5],
-                               iota_tpx, prec, od_parts, TILE_R)
+                               iota_tpx, prec, od_parts, TILE_R,
+                               want_od=fused is not None)
+        if fused is not None:
+            Ft, od_rows = Ft
     else:
         Ft = Ft_ref[0]                    # [F_DIM, TILE_R] (or OD rows)
         TILE_R = Ft.shape[1]
@@ -731,7 +824,12 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
         _, attrs = jax.lax.while_loop(
             fcond, fbody, (jnp.int32(0),
                            jnp.zeros((AR, TILE_R), jnp.float32)))
-        attr_ref[0] = attrs
+        if fused is not None:
+            n_obj, dbl, snl = fused
+            attr_ref[0] = _fused_phong(cam, od_rows, bt, bidv, attrs,
+                                       n_obj, dbl, snl)
+        else:
+            attr_ref[0] = attrs
 
 
 def _nearest_kernel_g(BS: int, WB: int, eps: float, prec: str,
@@ -1184,10 +1282,12 @@ _chunk_tiles = _ray_major._chunk_tiles
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
                                              "prec", "res", "groups",
-                                             "od_parts", "iota_tpx"))
+                                             "od_parts", "iota_tpx",
+                                             "fused"))
 def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
                     prec: str = None, res: bool = None, groups: int = 1,
-                    At=None, od_parts: int = 0, cam=None, iota_tpx: int = 0):
+                    At=None, od_parts: int = 0, cam=None, iota_tpx: int = 0,
+                    fused=None):
     """Ft [n,F_DIM,tile], plan [n,PLAN_W] i32, Gt [16,(NB+pad)*4*block]
     -> (t [n,tile], idx [n,tile]).  ``od_parts`` != 0: Ft instead carries
     the 8 o/d ray rows (ray_tile_od) and the kernel builds the walk
@@ -1215,6 +1315,9 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     assert not fetch or (res and groups == 1), (fetch, res, groups)
     assert not od_parts or groups == 1, (od_parts, groups)
     assert not iota_tpx or (cam is not None and groups == 1)
+    assert fused is None or (fetch and iota_tpx), (fused, fetch, iota_tpx)
+    ar_out = (4 if fused is not None else
+              (At.shape[0] if fetch else 0))
     KF = None if iota_tpx else Ft.shape[1]   # contraction rows (16 f32 /
     #                             stacked bf16 / 8 o/d rows when od_parts)
 
@@ -1239,7 +1342,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
         else:
             kern = functools.partial(_nearest_kernel_t, block, wb, eps,
                                      prec, res, KW, fetch, od_parts,
-                                     iota_tpx)
+                                     iota_tpx, fused)
         tile_spec = pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         if iota_tpx:
@@ -1258,10 +1361,10 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
         if fetch:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             out_specs.append(
-                pl.BlockSpec((1, At.shape[0], tile), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, ar_out, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM))
             out_shape.append(
-                _out_struct((nl, At.shape[0], tile), jnp.float32, vref))
+                _out_struct((nl, ar_out, tile), jnp.float32, vref))
             operands.append(At)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1286,7 +1389,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     if fetch:
         t, idx, attrs = outs
         return (t.reshape(n, tile), idx.reshape(n, tile),
-                attrs.reshape(n, At.shape[0], tile))
+                attrs.reshape(n, ar_out, tile))
     t, idx = outs
     return t.reshape(n, tile), idx.reshape(n, tile)
 
@@ -1659,6 +1762,46 @@ def hits_attrs(prep, origin, direction, tile: int, eps: float,
                                     cam=cam, iota_tpx=tpx)
     attrs = attrs.transpose(0, 2, 1).reshape(-1, attrs.shape[1])
     return t.reshape(-1)[:R], idx.reshape(-1)[:R], attrs[:R]
+
+
+def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
+                light_color, maxv: int = 248, cam_spec=None,
+                double_sided: bool = True, specular_nl: bool = True):
+    """Nearest hit + FUSED in-kernel Phong over flat primary rays.
+
+    The kernel's epilogue computes the reference's full Phong term
+    (simple_raytracer.cpp:144-200; quirks incl. abs(n.l) and the extra
+    n.l specular factor as static switches) from the fetched winner
+    attributes and the iota-rebuilt ray rows, so NO ray-sized XLA work
+    remains before the occlusion query: returns (t [R], idx [R],
+    obj [R] i32, rgb [R, 3] pre-tonemap unshadowed radiance).  The caller
+    applies the shadow dim + tonemap (both elementwise).  Requires
+    prep.has_attr, a resident operand, and a cam_spec (primary rays).
+    Misses hold garbage rgb — mask with isfinite(t)."""
+    iota = _use_iota(cam_spec, True, 1, maxv, tile)
+    assert iota and prep.has_attr, (iota, prep.has_attr)
+    G, prec, _Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
+                                        tile, want_ft=False)
+    res = _resident(G)
+    assert res, "fused shading needs the VMEM-resident operand"
+    sc = prep.scene
+    plan = cull(prep, origin, direction, tile, maxv, apex=True)
+    vmx, focal, wd, hd, tpx = cam_spec
+    tiles_x = -(-wd // tpx)
+    shade = (light_pos, light_color, sc.obj_color, sc.obj_ambient,
+             sc.obj_specular, sc.obj_shininess)
+    cam, txy = make_cam(vmx, focal, wd, hd, tpx, n, tiles_x, tile,
+                        shade=shade)
+    plan = plan.at[:, 4].set(txy[:, 0]).at[:, 5].set(txy[:, 1])
+    n_obj = int(sc.obj_color.shape[0])
+    t, idx, out = tiled_nearest_t(
+        None, plan, G, tile, prep.block_size, WINDOW_BLOCKS, eps,
+        prec=prec, res=res, At=prep.attr_t, od_parts=odp, cam=cam,
+        iota_tpx=tpx, fused=(n_obj, bool(double_sided), bool(specular_nl)))
+    out = out.transpose(0, 2, 1).reshape(-1, 4)
+    rgb = out[:R, :3]
+    obj = jnp.round(out[:R, 3]).astype(jnp.int32)
+    return t.reshape(-1)[:R], idx.reshape(-1)[:R], obj, rgb
 
 
 def _hourglass_for(prep) -> bool:

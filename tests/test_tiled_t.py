@@ -224,3 +224,39 @@ def test_hits_iota_features_match_od_path():
     np.testing.assert_allclose(np.asarray(t2)[both], np.asarray(t3)[both],
                                rtol=1e-5, atol=1e-6)
     assert (np.asarray(i2) == np.asarray(i3)).mean() > 0.999
+
+
+def test_fused_phong_matches_integrator(monkeypatch):
+    """The fused in-kernel Phong epilogue (hits_shaded + the shadow-dim/
+    tonemap tail in render_flat_tiled) must reproduce the integrator
+    path's radiance to float rounding (the kernel evaluates the same
+    Phong terms on [1,T] rows; rv**shin goes through exp/log)."""
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    scene = _scene()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    prep = prepare(scene, cfg)
+    o, d, _, _ = primary_rays_tiled(128, 128, 64, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (None, 400.0, 128, 128, 64)
+
+    monkeypatch.setenv("SRT_FUSED_PHONG", "1")
+    called = []
+    orig = tiled_t.hits_shaded
+    monkeypatch.setattr(tiled_t, "hits_shaded",
+                        lambda *a, **k: (called.append(1), orig(*a, **k))[1])
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    assert called, "fused path not taken"
+    monkeypatch.setenv("SRT_FUSED_PHONG", "0")
+    rad_u, hit_u = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_u) == m).all()
+    assert m.sum() > 500
+    np.testing.assert_allclose(np.asarray(rad_f)[m], np.asarray(rad_u)[m],
+                               rtol=2e-5, atol=2e-6)
