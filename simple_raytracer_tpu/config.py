@@ -137,9 +137,9 @@ class KernelConfig:
     # kernel's epilogue computes the reference's full Phong term
     # (simple_raytracer.cpp:144-200) from the fetched winner attributes
     # and the iota ray rows, leaving only the elementwise shadow dim +
-    # tonemap outside.  Default off until the hardware A/B lands.
-    # Env: SRT_FUSED_PHONG.
-    fused_phong: bool = False
+    # tonemap outside.  Round-4 hardware A/B (view-varied frames, bunny
+    # 1080p shadowed): 17.75 -> 16.06 ms/frame.  Env: SRT_FUSED_PHONG.
+    fused_phong: bool = True
     # Projective cull composition for apex tiles: "and" = px test refines
     # the interval test (default; "only" is plan-equivalent and ~6 ms
     # cheaper isolated but degraded the round-3 full-frame schedule

@@ -50,13 +50,17 @@ def differentiable_hits(hit_fn: Callable, verts_cart: jnp.ndarray,
 
 
 def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
-                         origin=None, direction=None):
+                         origin=None, direction=None, apex: bool = False):
     """Differentiable float render through the configured fast intersector.
 
     Same output contract as render.renderer.render_radiance ([H,W,3] radiance
     + [H,W] hit mask, or flat [R,...] when origin/direction are given), but
     every mode — including 'bvh' and 'tiled' — carries gradients to scene
     parameters via the fixed-topology recompute.
+
+    ``apex``: assert the rays share ONE origin (primary-camera bundles —
+    also true for every shard of one) so the tiled intersector may use the
+    projective pixel-space cull; UNSOUND for mixed-origin rays.
     """
     from ..accel.prepared import PreparedScene
     from ..render.renderer import brute_force_hits, brute_force_shadow
@@ -102,8 +106,10 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
         # measurement baseline and are not tuned for the large-tile gates
         # (scoped-vmem overflow at 64px tiles)
         impl = tiled.get_impl(cfg.tiled_impl)
+        apx = apex or not flat       # self-generated rays ARE primaries
         hit_fn = lambda oo, dd: impl.hits(prep, oo, dd, htile,
-                                          cfg.mt_eps, cfg.cull_maxv)
+                                          cfg.mt_eps, cfg.cull_maxv,
+                                          apex=apx)
         shadow_fn = tiled.tiled_shadow_fn(
             prep, tiled._shadow_tile(cfg, tile, prep), cfg.mt_eps,
             cfg.cull_maxv, cfg.light.shadow_no_max_t,

@@ -89,8 +89,25 @@ def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
                                         G_local)), False
 
 
+def _decode_pack(pk, lean: bool):
+    """Packed per-ray record [R, 26|8] -> the shading-record dict
+    (see shard_geometry's rec_pack/rec_flat layout)."""
+    obj_col, tex_col = (3, 4) if lean else (24, 25)
+    rec = {
+        "obj": jnp.round(pk[:, obj_col]).astype(jnp.int32),
+        "tex_id": jnp.round(pk[:, tex_col]).astype(jnp.int32),
+    }
+    if lean:
+        rec["normal"] = pk[:, :3]
+    else:
+        rec["tri_v"] = pk[:, 0:9].reshape(-1, 3, 3)
+        rec["vnormals"] = pk[:, 9:18].reshape(-1, 3, 3)
+        rec["uvs"] = pk[:, 18:24].reshape(-1, 3, 2)
+    return rec
+
+
 def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
-                     tile: int = 256, maxv: int = 64):
+                     tile: int = 256, maxv: int = 64, lean: bool = False):
     """Global nearest hit with triangle-sharded geometry.
 
     Args:
@@ -109,35 +126,60 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
     R = o.shape[0]
     perm = [(i, (i + 1) % n) for i in range(n)]
     local_hit, used_kernel = _local_hit_fn(shard, eps, tile, maxv)
+    # Packed-record fast path (shard_geometry rec_pack/rec_flat): the
+    # winner-attribute carry is ONE [R, K] gather + one where per rotation
+    # instead of five — round 4 established ray-sized gathers never
+    # overlap, and the five-gather carry dominated the measured
+    # per-rotation cost.  ``lean`` (flat-untextured scenes): K=8 (flat
+    # normal + ids), 3.25x fewer ppermute bytes than the 26-wide pack.
+    pack_key = None
+    if lean and "rec_flat" in shard:
+        pack_key = "rec_flat"
+    elif "rec_pack" in shard:
+        pack_key = "rec_pack"
 
     def step(carry, _):
         o, d, best_t, rec = carry
         t, li = local_hit(o, d)
         better = t < best_t
-        bv = better[:, None, None]
-        rec = {
-            "tri_v": jnp.where(bv, shard["verts_cart"][li], rec["tri_v"]),
-            "vnormals": jnp.where(bv, shard["vnormals"][li], rec["vnormals"]),
-            "uvs": jnp.where(better[:, None, None], shard["uvs"][li],
-                             rec["uvs"]),
-            "obj": jnp.where(better, shard["tri_obj"][li], rec["obj"]),
-            "tex_id": jnp.where(better, shard["tri_tex"][li], rec["tex_id"]),
-        }
+        if pack_key is not None:
+            rec = jnp.where(better[:, None], shard[pack_key][li], rec)
+        else:
+            bv = better[:, None, None]
+            rec = {
+                "tri_v": jnp.where(bv, shard["verts_cart"][li],
+                                   rec["tri_v"]),
+                "vnormals": jnp.where(bv, shard["vnormals"][li],
+                                      rec["vnormals"]),
+                "uvs": jnp.where(bv, shard["uvs"][li], rec["uvs"]),
+                "obj": jnp.where(better, shard["tri_obj"][li], rec["obj"]),
+                "tex_id": jnp.where(better, shard["tri_tex"][li],
+                                    rec["tex_id"]),
+            }
         best_t = jnp.minimum(best_t, t)
         # rotate the ray block + its running record to the next device
         o, d, best_t, rec = lax.ppermute((o, d, best_t, rec), axis, perm)
         return (o, d, best_t, rec), None
 
+    if pack_key is not None:
+        rec0 = jnp.zeros((R, shard[pack_key].shape[-1]), o.dtype)
+        rec0 = rec0.at[:, 3 if pack_key == "rec_flat" else 24].set(-1.0)
+        rec0 = rec0.at[:, 4 if pack_key == "rec_flat" else 25].set(-1.0)
+    else:
+        rec0 = _empty_record(R, o.dtype)
     init = jax.tree.map(
         lambda x: match_vma(x, o),
-        (o, d, jnp.full((R,), jnp.inf, o.dtype), _empty_record(R, o.dtype)))
+        (o, d, jnp.full((R,), jnp.inf, o.dtype), rec0))
     (o2, d2, t, rec), _ = lax.scan(step, init, None, length=n)
     # n rotations of +1 bring every block back to its home device
-    if used_kernel:
+    if pack_key is not None:
+        rec = _decode_pack(rec, pack_key == "rec_flat")
+    if used_kernel and "tri_v" in rec:
         # fixed-topology differentiable recompute (diff/render.py pattern):
         # the kernel's t was gradient-stopped, but the winning triangle's
         # vertices rode home in the record through differentiable gathers and
         # ppermutes — recomputing MT at the frozen winner restores d(t)/d(verts)
+        # (the lean record has no vertices: render-only fast path)
         t_rec = isect.moller_trumbore(o, d, rec["tri_v"], eps)
         t = jnp.where(jnp.isfinite(t) & jnp.isfinite(t_rec), t_rec, t)
     return t, rec
@@ -194,7 +236,9 @@ def render_flat_ring(scene, shard, cfg: RenderConfig, o, d, light_pos,
     texture atlas); all triangle data lives in ``shard``.  Returns
     (radiance [R,3], hit [R]) for this device's home ray block.
     """
-    t, rec = ring_nearest_hit(shard, o, d, axis, cfg.mt_eps)
+    lean = (not bool(scene.has_textures)
+            and not cfg.shading.smooth_normals)
+    t, rec = ring_nearest_hit(shard, o, d, axis, cfg.mt_eps, lean=lean)
     shadow_fn = None
     if cfg.light.enable_shadows:
         shadow_fn = lambda p, l, s, hit=None: ring_any_hit_other(
@@ -368,4 +412,31 @@ def shard_geometry(scene, n: int, culled: bool = True,
     shard["block_min"] = bmins
     shard["block_max"] = bmaxs
     shard["gram"] = grams
+    # ONE-GATHER record table (the integrator's packed-record lesson applied
+    # to the ring: the per-rotation winner-attribute fetch was FIVE ray-sized
+    # gathers per rotation per device — and round 4 established ray-sized
+    # gathers never overlap).  Layout [Tl, 26]: tri_v 9, vnormals 9, uvs 6,
+    # obj 1, tex 1 (+2 pad); the flat-untextured fast path slices a lean
+    # [Tl, 8] view: flat normal 3, obj 1, tex 1.
+    tn = np.zeros((n, Tl, 3), np.float32)
+    for s in range(n):
+        vs = shard["verts_cart"][s]
+        e1 = vs[:, 1] - vs[:, 0]
+        e2 = vs[:, 2] - vs[:, 0]
+        nrm = np.cross(e1, e2)
+        ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        tn[s] = (nrm / np.maximum(ln, 1e-30)).astype(np.float32)
+    shard["rec_pack"] = np.concatenate([
+        shard["verts_cart"].reshape(n, Tl, 9),
+        shard["vnormals"].reshape(n, Tl, 9),
+        shard["uvs"].reshape(n, Tl, 6),
+        shard["tri_obj"][..., None].astype(np.float32),
+        shard["tri_tex"][..., None].astype(np.float32),
+    ], axis=-1).astype(np.float32)
+    shard["rec_flat"] = np.concatenate([
+        tn,
+        shard["tri_obj"][..., None].astype(np.float32),
+        shard["tri_tex"][..., None].astype(np.float32),
+        np.zeros((n, Tl, 3), np.float32),
+    ], axis=-1)
     return shard

@@ -93,12 +93,40 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
     prep = scene if isinstance(scene, PreparedScene) else None
     scene = jax.device_put(scene.scene if prep is not None else scene)
     cam = cfg.camera
-    o, d = primary_rays(cam.width, cam.height, cam.focal, cam.normalize_dirs)
-    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    tile_layout = None
+    if prep is not None and cfg.mode == "tiled":
+        # Rays in 2D-TILE-MAJOR order, exactly like the forward renderer
+        # (render/renderer.py): row-major rays give the tiled cull 256-ray
+        # ROW SLIVERS with hopeless direction bounds.  The loss is a
+        # permutation-invariant sum, so only the target must be reordered
+        # to match (_tile_major_flat below; padded out-of-frame rays miss
+        # -> pred 0 and pair with zero-padded target rows -> contribute 0).
+        from ..kernels.tiled import effective_tile_px
+        from ..ops.camera import primary_rays_tiled
+        tpx = effective_tile_px(cfg, scene.verts.shape[0])
+        o, d, tx, ty = primary_rays_tiled(cam.width, cam.height, tpx,
+                                          cam.focal, cam.normalize_dirs)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        tile_layout = (tpx, tx, ty)
+    else:
+        o, d = primary_rays(cam.width, cam.height, cam.focal,
+                            cam.normalize_dirs)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     R = o.shape[0]
+    Rimg = cam.width * cam.height       # loss normalizer: real pixels
     if mesh is not None:
         n = mesh.shape[axis]
         assert R % n == 0, f"rays {R} not divisible by mesh axis {n}"
+
+    def _flat_target(target):
+        if tile_layout is None:
+            return target.reshape(-1, 3)
+        tpx, tx, ty = tile_layout
+        pad_y = ty * tpx - cam.height
+        pad_x = tx * tpx - cam.width
+        tt = jnp.pad(target, ((0, pad_y), (0, pad_x), (0, 0)))
+        return tt.reshape(ty, tpx, tx, tpx, 3).transpose(
+            0, 2, 1, 3, 4).reshape(-1, 3)
 
     def local_loss(params: DiffParams, oo, dd, tt):
         s, light = apply_params(scene, params)
@@ -106,7 +134,8 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
             from ..diff.render import render_radiance_diff
             operand = dataclasses.replace(prep, scene=s)
             fwd = lambda op, oo, dd, light: render_radiance_diff(
-                op, cfg, light, origin=oo, direction=dd)
+                op, cfg, light, origin=oo, direction=dd,
+                apex=tile_layout is not None)   # primaries by construction
             if remat:
                 fwd = jax.checkpoint(fwd, static_argnums=())
             radiance, hit = fwd(operand, oo, dd, light)
@@ -120,7 +149,7 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
 
     if mesh is None:
         def loss_fn(params, target):
-            return local_loss(params, o, d, target.reshape(-1, 3)) / R
+            return local_loss(params, o, d, _flat_target(target)) / Rimg
     else:
         def loss_fn(params, target):
             def shard_body(params, oo, dd, tt):
@@ -134,7 +163,7 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
                 shard_body, mesh=mesh,
                 in_specs=(P(), P(axis), P(axis), P(axis)),
                 out_specs=P(), check_vma=False)
-            return f(params, o, d, target.reshape(-1, 3)) / R
+            return f(params, o, d, _flat_target(target)) / Rimg
 
     if optimizer is not None:
         # optax path: step(params, opt_state, target) -> (params, opt_state,
