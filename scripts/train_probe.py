@@ -101,12 +101,37 @@ def main():
                                          * 1e-9, apex=True)
         return jnp.sum(jnp.where(hitm[:, None], rad, 0.0) ** 2)
 
-    timeit("fwd", lambda pp, i: loss_of(pp, cfg, i), params)
-    timeit("bwd", lambda pp, i: jax.grad(
-        lambda q: loss_of(q, cfg, i))(pp).light_pos.sum(), params)
+    def loss_hits(params, i):
+        # hits + recompute only (no shading): the diff-path floor
+        s, lp = apply_params(prep.scene, params)
+        operand = dataclasses.replace(prep, scene=s)
+        from simple_raytracer_tpu.kernels import tiled as _tk
+        impl = _tk.get_impl(cfg.tiled_impl)
+        from simple_raytracer_tpu.diff.render import differentiable_hits
+        hit_fn = lambda oo, dd: impl.hits(
+            jax.lax.stop_gradient(operand), oo, dd, tpx * tpx, cfg.mt_eps,
+            cfg.cull_maxv, apex=True)
+        t, idx = differentiable_hits(hit_fn, s.verts_cart(), o,
+                                     d + i.astype(d.dtype) * 1e-9,
+                                     cfg.mt_eps)
+        return jnp.where(jnp.isfinite(t), t, 0.).sum() + lp.sum() * 0
+
+    def gsum(g):
+        leaves = jax.tree.leaves(g)
+        return sum(x.sum() for x in leaves)
+
+    timeit("fwd_hits", loss_hits, params)
+    timeit("bwd_hits", lambda pp, i: gsum(jax.grad(
+        lambda q: loss_hits(q, i))(pp)), params)
     cfg_ns = cfg.replace(light=LightConfig(enable_shadows=False))
-    timeit("bwd_nosh", lambda pp, i: jax.grad(
-        lambda q: loss_of(q, cfg_ns, i))(pp).light_pos.sum(), params)
+    timeit("fwd_nosh", lambda pp, i: loss_of(pp, cfg_ns, i), params)
+    timeit("fwd", lambda pp, i: loss_of(pp, cfg, i), params)
+    # gsum consumer: EVERY grad is live (a .light_pos-only consumer lets
+    # XLA dead-code most of the backward)
+    timeit("bwd", lambda pp, i: gsum(jax.grad(
+        lambda q: loss_of(q, cfg, i))(pp)), params)
+    timeit("bwd_nosh", lambda pp, i: gsum(jax.grad(
+        lambda q: loss_of(q, cfg_ns, i))(pp)), params)
 
     def loss_mat(small, pp, cfgx, i):
         q = DiffParams(verts=pp.verts, obj_color=small[0],
@@ -119,6 +144,23 @@ def main():
               params.obj_shininess, params.light_pos)
     timeit("bwd_mat", lambda pp, i: jax.grad(
         lambda s: loss_mat(s, pp, cfg, i))(small0)[4].sum(), params)
+
+    # params-chained fori over MY loss (same structure as make_train_step's
+    # step, minus its loss_fn specifics): isolates whether the step/bwd gap
+    # is the chaining+update or the loss construction
+    @jax.jit
+    def manyvg(params):
+        def one(i, st):
+            pp, acc = st
+            loss, g = jax.value_and_grad(lambda q: loss_of(q, cfg, i))(pp)
+            pp = jax.tree.map(lambda p, gg: p - 1e-3 * gg, pp, g)
+            return pp, acc + loss
+        _, acc = jax.lax.fori_loop(0, N, one, (params, jnp.float32(0)))
+        return acc
+    t0 = time.time(); float(manyvg(params)); c = time.time() - t0
+    t0 = time.time(); float(manyvg(params))
+    dt = (time.time() - t0) / N
+    print(f"[vg_chain] {dt*1e3:.2f} ms/step (compile {c:.0f}s)", flush=True)
 
     # the real artifact number: full step via make_train_step
     step = make_train_step(prep, cfg, lr=1e-3)
