@@ -118,14 +118,48 @@ def render_radiance_diff(prep_or_scene, cfg: RenderConfig, light_pos,
     else:
         raise ValueError(f"unknown render mode: {cfg.mode}")
 
-    t, tri_idx = differentiable_hits(hit_fn, verts_cart, o, d, cfg.mt_eps)
     if shadow_fn is not None:
         nd_shadow = shadow_fn
         shadow_fn = lambda p, l, s, hit=None: jax.lax.stop_gradient(
             nd_shadow(jax.lax.stop_gradient(p), jax.lax.stop_gradient(l), s,
                       hit=hit))
-    radiance = integrator.shade(scene, cfg, o, d, t, tri_idx, light_pos,
-                                shadow_fn)
+    lean = (not bool(scene.has_textures) and not cfg.shading.smooth_normals
+            and scene.obj_color.shape[0] <= 8 and scene.verts.shape[0] > 0)
+    if lean:
+        # ONE-gather/ONE-scatter backward (round 4): the default path does
+        # a verts gather (MT recompute) PLUS an [R, K] record gather whose
+        # material columns are pre-expanded per triangle — in the backward
+        # each gather transposes to a ~11 ms serialized [R]->[T] scatter
+        # (scripts/scatter_probe.py) and the materials pay scatter+reduce.
+        # Here: one [T, 13] table (verts 9, flat normal 3, obj 1 — only
+        # the verts columns carry gradients), one [R, 13] gather, and
+        # materials resolved by the unrolled per-object select (grads flow
+        # to obj_color/... through elementwise where + a reduce, no
+        # triangle-sized scatter at all).
+        t_nd, tri_idx = jax.lax.stop_gradient(
+            hit_fn(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)))
+        idxc = jnp.maximum(tri_idx, 0)
+        table = jnp.concatenate(
+            [verts_cart.reshape(-1, 9),
+             jax.lax.stop_gradient(scene.tri_normal),
+             jax.lax.stop_gradient(
+                 scene.tri_obj.astype(jnp.float32))[:, None]], axis=1)
+        packed = table[idxc]
+        tri = packed[:, :9].reshape(-1, 3, 3)
+        t = isect.moller_trumbore(o, d, tri, cfg.mt_eps)
+        t = jnp.where((tri_idx >= 0) & jnp.isfinite(t), t, jnp.inf)
+        obj = jnp.round(packed[:, 12]).astype(jnp.int32)
+        record = {"obj": obj,
+                  "tex_id": jnp.full(obj.shape, -1, jnp.int32),
+                  "normal": packed[:, 9:12]}
+        record.update(integrator.material_select(scene, obj))
+        radiance = integrator.shade(scene, cfg, o, d, t, tri_idx,
+                                    light_pos, shadow_fn, record=record)
+    else:
+        t, tri_idx = differentiable_hits(hit_fn, verts_cart, o, d,
+                                         cfg.mt_eps)
+        radiance = integrator.shade(scene, cfg, o, d, t, tri_idx, light_pos,
+                                    shadow_fn)
     hit = jnp.isfinite(t)
     if flat:
         return radiance, hit

@@ -131,8 +131,14 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     # material values ride the packed per-triangle record when present
     # (ONE ray-sized gather total — see gather_hit_records); records built
     # elsewhere (e.g. the ring renderer) fall back to per-ray obj gathers
+    _ms = None
+    if (("color" not in record) or ("ambient" not in record)) \
+            and scene.obj_color.shape[0] <= 8:
+        _ms = material_select(scene, obj)    # no per-ray gathers
     if "color" in record:
         base_color = record["color"]
+    elif _ms is not None:
+        base_color = _ms["color"]
     else:
         base_color = scene.obj_color[obj]
     if has_atlas and "uvs" in record:
@@ -156,6 +162,9 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
         ambient = record["ambient"]
         specular = record["specular"]
         shininess = record["shininess"]
+    elif _ms is not None:
+        ambient, specular, shininess = (_ms["ambient"], _ms["specular"],
+                                        _ms["shininess"])
     else:
         ambient = scene.obj_ambient[obj]
         specular = scene.obj_specular[obj]
@@ -208,6 +217,28 @@ def shade_records(scene, cfg: RenderConfig, record: dict, origin: jnp.ndarray,
     return accum
 
 
+def material_select(scene, obj: jnp.ndarray) -> dict:
+    """Per-ray material record via an UNROLLED small-table select (O is
+    small in every reference scene).  Differentiable to the obj_* tables
+    through elementwise where + reduces — no per-ray gather, so the
+    backward has no serialized [R]->[T] scatter (the per-triangle
+    pre-expansion of gather_hit_records costs one in AD's transpose)."""
+    O = scene.obj_color.shape[0]
+    R = obj.shape[0]
+    color = jnp.zeros((R, 3), scene.obj_color.dtype)
+    amb = jnp.zeros((R,), scene.obj_ambient.dtype)
+    spec = jnp.zeros((R,), scene.obj_specular.dtype)
+    shin = jnp.zeros((R,), scene.obj_shininess.dtype)
+    for o in range(O):
+        m = obj == o
+        color = jnp.where(m[:, None], scene.obj_color[o], color)
+        amb = jnp.where(m, scene.obj_ambient[o], amb)
+        spec = jnp.where(m, scene.obj_specular[o], spec)
+        shin = jnp.where(m, scene.obj_shininess[o], shin)
+    return {"color": color, "ambient": amb, "specular": spec,
+            "shininess": shin}
+
+
 def records_from_attrs(scene, attrs: jnp.ndarray) -> dict:
     """Decode the nearest kernel's fetched attribute limbs into a shading
     record (the in-kernel replacement for gather_hit_records on
@@ -226,27 +257,14 @@ def records_from_attrs(scene, attrs: jnp.ndarray) -> dict:
          + attrs[:, 2 * ATTR_N:3 * ATTR_N])              # exact limb sums
     normal = v[:, :3]
     obj = jnp.round(v[:, 3]).astype(jnp.int32)
-    O = scene.obj_color.shape[0]
     R = obj.shape[0]
-    color = jnp.zeros((R, 3), scene.obj_color.dtype)
-    amb = jnp.zeros((R,), scene.obj_ambient.dtype)
-    spec = jnp.zeros((R,), scene.obj_specular.dtype)
-    shin = jnp.zeros((R,), scene.obj_shininess.dtype)
-    for o in range(O):                 # O is small (reference scenes <= 9)
-        m = obj == o
-        color = jnp.where(m[:, None], scene.obj_color[o], color)
-        amb = jnp.where(m, scene.obj_ambient[o], amb)
-        spec = jnp.where(m, scene.obj_specular[o], spec)
-        shin = jnp.where(m, scene.obj_shininess[o], shin)
-    return {
+    rec = {
         "obj": obj,
         "tex_id": jnp.full((R,), -1, jnp.int32),   # untextured by contract
-        "color": color,
-        "ambient": amb,
-        "specular": spec,
-        "shininess": shin,
         "normal": normal,
     }
+    rec.update(material_select(scene, obj))
+    return rec
 
 
 def shade(scene, cfg: RenderConfig, origin: jnp.ndarray, direction: jnp.ndarray,
