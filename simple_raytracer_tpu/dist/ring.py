@@ -67,6 +67,31 @@ def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
     rotation, exactly wrong for the huge-scene regime this mode exists for).
     Plain shards fall back to the dense MXU Gram contraction.
     """
+    if "gram_t" in shard:
+        # sublane/stack production kernel on the shard (round 4): the same
+        # one-pass K-stacked tier + projective apex cull as single-chip
+        # rendering; the paged BlockSet path below predates the stack tier
+        # and is kept for bundles without the transposed operands.
+        import types
+        from ..kernels import tiled_t as _tt
+        Tl = shard["verts_cart"].shape[0]
+        nb = shard["block_min"].shape[0]
+        bsz = Tl // nb
+        rows = shard["gram_s"].shape[0]
+        prepn = types.SimpleNamespace(
+            block_min=shard["block_min"], block_max=shard["block_max"],
+            block_size=bsz, gram_t=shard["gram_t"],
+            gram_s=shard["gram_s"],
+            stack_parts={32: 3, 64: 6}.get(rows, 6),
+            block_obj=None, has_attr=False)
+
+        def local_hit(o, d):
+            t, li = _tt.hits(prepn, lax.stop_gradient(o),
+                             lax.stop_gradient(d), tile, eps, maxv,
+                             apex=True)
+            return lax.stop_gradient(t), li
+        return local_hit, True
+
     if "gram" in shard:
         from ..kernels import tiled as tk
         bs = tk.BlockSet.from_arrays(shard["block_min"], shard["block_max"],
@@ -393,12 +418,16 @@ def shard_geometry(scene, n: int, culled: bool = True,
     # AABBs and Gram pages — all host numpy, one device_put by the caller's
     # jit boundary
     from ..accel.bvh import build_bvh, triangle_blocks
-    from ..accel.prepared import pack_pages_np
+    from ..accel.prepared import (pack_blocks_np, pack_blocks_stacked_np,
+                                  pack_pages_np, GRAM_T_PAD_BLOCKS)
     nb = Tl // block_size
     np_pages = Tl // page_tris
     grams = np.zeros((n, np_pages, 16, 4 * page_tris), np.float32)
     bmins = np.zeros((n, nb, 3), np.float32)
     bmaxs = np.zeros((n, nb, 3), np.float32)
+    lanes = (nb + GRAM_T_PAD_BLOCKS) * 4 * block_size
+    gram_t = np.zeros((n, 16, lanes), np.float32)
+    gram_s = None
     for s in range(n):
         vs = shard["verts_cart"][s]
         flat = build_bvh(vs, leaf_size)
@@ -409,9 +438,19 @@ def shard_geometry(scene, n: int, culled: bool = True,
         bmin, bmax, _ = triangle_blocks(vs, block_size)
         bmins[s], bmaxs[s] = bmin, bmax
         grams[s] = pack_pages_np(vs, shard["tri_obj"][s], page_tris)
+        # sublane/stack operands: the shard-local walk runs the SAME
+        # production kernel tier as single-chip rendering (round 4; the
+        # paged BlockSet path predates the one-pass stack tier)
+        gram_t[s] = pack_blocks_np(vs, block_size)
+        gs = pack_blocks_stacked_np(vs, block_size, 6)
+        if gram_s is None:
+            gram_s = np.zeros((n,) + gs.shape, gs.dtype)
+        gram_s[s] = gs
     shard["block_min"] = bmins
     shard["block_max"] = bmaxs
     shard["gram"] = grams
+    shard["gram_t"] = gram_t
+    shard["gram_s"] = gram_s
     # ONE-GATHER record table (the integrator's packed-record lesson applied
     # to the ring: the per-rotation winner-attribute fetch was FIVE ray-sized
     # gathers per rotation per device — and round 4 established ray-sized
