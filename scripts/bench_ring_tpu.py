@@ -33,6 +33,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="artifacts/ring_tpu_r3.jsonl")
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--tpx", type=int, default=32)
     args = p.parse_args()
 
     from simple_raytracer_tpu.config import (default_config, BVHConfig,
@@ -58,7 +59,7 @@ def main():
         mode="tiled", camera=CameraConfig(width=W, height=H, focal=6000.0),
         bvh=BVHConfig(split="sah"))
 
-    tpx = 32                       # ring local_hit runs the paged kernel
+    tpx = args.tpx                 # shard-local tile edge
     tile = tpx * tpx
     o, d = primary_rays(W, H, cfg.camera.focal)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
@@ -98,7 +99,7 @@ def main():
             float(many(ol, dl))
             rows.append((time.time() - t0) / args.iters * 1e3)
         rec = {
-            "schedule": "ring_per_rotation_tpu",
+            "schedule": "ring_per_rotation_tpu", "tile_px": tpx,
             "n_way": n,
             "rays_per_device": Rl,
             "tris_per_shard": int(shard["verts_cart"].shape[1]),
