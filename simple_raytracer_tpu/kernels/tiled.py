@@ -169,7 +169,8 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
                       maxv: int, block: int, page_tris: int,
                       block_obj=None, excl=None, plan_w: int = None,
                       groups: int = 1, hourglass: bool = False,
-                      apex: bool = False, apex_rev: bool = False):
+                      apex: bool = False, apex_rev: bool = False,
+                      ab=None):
     """Page-list culling with range fallback.  ``apex``: the rays share ONE
     origin (primary rays) — visibility is additionally tightened by the
     projective pixel-space test (:func:`_visibility_px`, measured 7.3x
@@ -213,17 +214,23 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     # Kept as a measurement knob until that is understood.
     from ..config import KernelConfig
     _PX_MODE = _os.environ.get("SRT_PX_MODE", KernelConfig().px_mode)
+    if ab is not None and not apex:
+        ab = None                     # analytic bounds are apex-only
     if apex and _PX_MODE == "only":
-        vis_fn = _visibility_px
+        visible_b, tlo_b, n = _visibility_px(o, d, tile, block_min,
+                                             block_max, block_obj, excl,
+                                             pxb=ab)
     elif hourglass:
-        vis_fn = _visibility_hourglass
+        visible_b, tlo_b, n = _visibility_hourglass(o, d, tile, block_min,
+                                                    block_max, block_obj,
+                                                    excl)
     else:
-        vis_fn = _visibility
-    visible_b, tlo_b, n = vis_fn(o, d, tile, block_min, block_max,
-                                 block_obj, excl)
+        visible_b, tlo_b, n = _visibility(o, d, tile, block_min,
+                                          block_max, block_obj, excl,
+                                          bounds=ab)
     if apex and _PX_MODE == "and":
         visible_b = visible_b & _visibility_px(o, d, tile, block_min,
-                                               block_max)[0]
+                                               block_max, pxb=ab)[0]
     if apex_rev:
         # REFINEMENT only: the sign-free line test cannot exclude blocks
         # BEHIND the shadow-ray origins (t < 0 on the line through the
@@ -405,7 +412,7 @@ def _visibility_hourglass(o, d, tile, block_min, block_max,
 
 
 def _visibility(o, d, tile, block_min, block_max,
-                block_obj=None, excl=None):
+                block_obj=None, excl=None, bounds=None):
     """Shared conservative (tile, block) visibility mask [n, NB].
 
     ``excl`` [n] i32 (with ``block_obj`` [NB] i32, see
@@ -417,12 +424,19 @@ def _visibility(o, d, tile, block_min, block_max,
     and need not be fetched/tested at all.  -2 (or any id matching no
     block) disables masking for that tile; impure blocks carry -9.
     """
-    o, d, _ = pad_rays(o, d, tile)
-    n = o.shape[0] // tile
-    ot = o.reshape(n, tile, 3)
-    dt = d.reshape(n, tile, 3)
-    omin, omax = ot.min(1), ot.max(1)
-    dmin, dmax = dt.min(1), dt.max(1)
+    if bounds is not None:
+        # analytic per-tile bounds (tiled_t.analytic_tile_bounds): the
+        # O(R) ray reductions collapse to O(tiles) corner math
+        omin, omax = bounds["omin"], bounds["omax"]
+        dmin, dmax = bounds["dmin"], bounds["dmax"]
+        n = omin.shape[0]
+    else:
+        o, d, _ = pad_rays(o, d, tile)
+        n = o.shape[0] // tile
+        ot = o.reshape(n, tile, 3)
+        dt = d.reshape(n, tile, 3)
+        omin, omax = ot.min(1), ot.max(1)
+        dmin, dmax = dt.min(1), dt.max(1)
     INF = jnp.float32(jnp.inf)
     # processed PER AXIS with [n, NB] running intervals: the axis-stacked
     # form materializes [4, n, NB, 3] f32 intermediates — at 8100 tiles x
@@ -484,7 +498,7 @@ def _px_block_corners(block_min, block_max, apex):
 
 
 def _visibility_px(o, d, tile, block_min, block_max,
-                   block_obj=None, excl=None):
+                   block_obj=None, excl=None, pxb=None):
     """Projective (pixel-space) conservative (tile, block) visibility for
     COMMON-APEX ray bundles — primary rays, where every ray of the frame
     leaves one camera origin.  Returns (visible [n, NB], tlo [n, NB], n) —
@@ -517,25 +531,35 @@ def _visibility_px(o, d, tile, block_min, block_max,
     rounding (<= half a pixel at the reference's focal range, orders
     tighter than the slack this test removes).
     """
-    o, d, _ = pad_rays(o, d, tile)
-    n = o.shape[0] // tile
-    s, v, w = _px_frame(d)
     BIG = jnp.float32(3.0e38)
     eps = jnp.float32(1e-12)
+    if pxb is not None:
+        # analytic projective bounds (tiled_t.analytic_tile_bounds)
+        s, v, w = pxb["s"], pxb["v"], pxb["w"]
+        ru_lo, ru_hi = pxb["ru_lo"], pxb["ru_hi"]
+        rv_lo, rv_hi = pxb["rv_lo"], pxb["rv_hi"]
+        tile_bad, dw_hi = pxb["tile_bad"], pxb["dw_hi"]
+        n = ru_lo.shape[0]
+        apex = pxb["apex"]
+    else:
+        o, d, _ = pad_rays(o, d, tile)
+        n = o.shape[0] // tile
+        s, v, w = _px_frame(d)
 
-    dw = d @ w
-    bad_r = dw <= eps
-    dws = jnp.maximum(dw, eps)
-    ru = (d @ s) / dws
-    rv = (d @ v) / dws
-    ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
-    ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
-    rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
-    rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
-    tile_bad = bad_r.reshape(n, tile).any(1)
-    dw_hi = jnp.where(bad_r, 0.0, dw).reshape(n, tile).max(1)
+        dw = d @ w
+        bad_r = dw <= eps
+        dws = jnp.maximum(dw, eps)
+        ru = (d @ s) / dws
+        rv = (d @ v) / dws
+        ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
+        ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
+        rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
+        rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
+        tile_bad = bad_r.reshape(n, tile).any(1)
+        dw_hi = jnp.where(bad_r, 0.0, dw).reshape(n, tile).max(1)
+        apex = o[0]
 
-    c, empty = _px_block_corners(block_min, block_max, o[0])
+    c, empty = _px_block_corners(block_min, block_max, apex)
     cw = c @ w
     front = (cw > eps).all(axis=1)                       # fully in front
     behind = (cw <= eps).all(axis=1)

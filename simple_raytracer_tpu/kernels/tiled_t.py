@@ -487,6 +487,62 @@ def make_cam(view_matrix, focal: float, width: int, height: int,
     return cam, jnp.stack([px0, py0], axis=-1)
 
 
+def analytic_tile_bounds(cam_spec, n: int):
+    """O(tiles) per-tile cull bounds for affine primary-ray bundles.
+
+    The cull's per-tile ray reductions are O(R): o/d min/max for the
+    interval test, and the projective (ru, rv, dw) extremes for the px
+    test.  For tile-major primary rays both are EXACT at the tile's 4
+    pixel-rect corners — d is affine in (px, py), and the central
+    projection maps the rect to a quad whose vertices are the corner
+    images (valid whenever dw > 0 across the rect, which the affine dw's
+    corner minimum certifies).  Returns the dict consumed by
+    tiled.cull_blocks_lists(ab=...): interval bounds (omin/omax/
+    dmin/dmax [n,3]) + the px-frame data (s, v, w, apex, ru/rv bounds,
+    tile_bad, dw_hi) mirroring _visibility_px's conservative handling."""
+    vmx, focal, wd, hd, tpx = cam_spec
+    tiles_x = -(-wd // tpx)
+    ti = jnp.arange(n, dtype=jnp.int32)
+    px0 = ((ti % tiles_x) * tpx - (wd // 2)).astype(jnp.float32)
+    py0 = ((ti // tiles_x) * tpx - (hd // 2)).astype(jnp.float32)
+    e = jnp.float32(tpx - 1)
+    fx = jnp.stack([px0, px0 + e, px0, px0 + e], axis=1)        # [n, 4]
+    fy = jnp.stack([py0, py0, py0 + e, py0 + e], axis=1)
+    if vmx is None:
+        dc = jnp.stack([fx, fy, jnp.full_like(fx, jnp.float32(focal))],
+                       axis=-1)                                 # [n, 4, 3]
+        o = jnp.zeros((3,), jnp.float32)
+    else:
+        V = jnp.asarray(vmx, jnp.float32)
+        dc = (fx[..., None] * V[:3, 0] + fy[..., None] * V[:3, 1]
+              + jnp.float32(focal) * V[:3, 2])
+        o = V[:3, 3]
+    dmin, dmax = dc.min(axis=1), dc.max(axis=1)
+    ob = jnp.broadcast_to(o, (n, 3))
+    # px projection frame: same construction as tiled._px_frame, seeded by
+    # the corner-mean direction (any frame is valid; the test only compares
+    # projections of the same rays and blocks in one frame)
+    s, v, w = _ray_major._px_frame(dc.reshape(-1, 3))
+    BIG = jnp.float32(3.0e38)
+    eps = jnp.float32(1e-12)
+    dw = dc @ w                                                 # [n, 4]
+    bad = dw <= eps
+    tile_bad = bad.any(axis=1)
+    dws = jnp.maximum(dw, eps)
+    ru = (dc @ s) / dws
+    rv = (dc @ v) / dws
+    return {
+        "omin": ob, "omax": ob, "dmin": dmin, "dmax": dmax,
+        "s": s, "v": v, "w": w, "apex": o,
+        "ru_lo": jnp.where(bad, -BIG, ru).min(axis=1),
+        "ru_hi": jnp.where(bad, BIG, ru).max(axis=1),
+        "rv_lo": jnp.where(bad, -BIG, rv).min(axis=1),
+        "rv_hi": jnp.where(bad, BIG, rv).max(axis=1),
+        "tile_bad": tile_bad,
+        "dw_hi": jnp.where(bad, 0.0, dw).max(axis=1),
+    }
+
+
 def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
                       TILE_R: int, want_od: bool = False):
     """Kernel preamble for the iota path: per-frame constant rows ``cam``
@@ -1563,7 +1619,7 @@ def _groups_for_ah(tile: int) -> int:
 
 def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
          groups: int = 1, hourglass: bool = False, apex: bool = False,
-         apex_rev: bool = False):
+         apex_rev: bool = False, ab=None):
     """Plan builder for the sublane kernels.
 
     Fetch unit = aligned WINDOW of ``wb`` (default WINDOW_BLOCKS)
@@ -1584,7 +1640,7 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
             origin, direction, tile, prep.block_min, prep.block_max,
             maxv, prep.block_size, wb * prep.block_size, bobj, excl,
             plan_w=pw, groups=groups, hourglass=hourglass, apex=apex,
-            apex_rev=apex_rev)
+            apex_rev=apex_rev, ab=ab)
     lo, cnt = _ray_major.cull_blocks(origin, direction, tile,
                                      prep.block_min, prep.block_max,
                                      bobj, excl, hourglass=hourglass)
@@ -1722,8 +1778,9 @@ def hits(prep, origin, direction, tile: int, eps: float, maxv: int = 248,
                                                  odp)
             odp = 0
         res = _resident(G)
+        ab = analytic_tile_bounds(cam_spec, n) if iota else None
         plan = cull(prep, origin, direction, tile, maxv, groups=groups,
-                    apex=apex)
+                    apex=apex, ab=ab)
         cam = None
         tpx = 0
         if iota:
@@ -1750,7 +1807,8 @@ def hits_attrs(prep, origin, direction, tile: int, eps: float,
                                        tile, want_ft=not iota)
     res = _resident(G)
     assert prep.has_attr and res, (prep.has_attr, res)
-    plan = cull(prep, origin, direction, tile, maxv, apex=apex)
+    ab = analytic_tile_bounds(cam_spec, n) if iota else None
+    plan = cull(prep, origin, direction, tile, maxv, apex=apex, ab=ab)
     cam = None
     tpx = 0
     if iota:
@@ -1785,7 +1843,8 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     res = _resident(G)
     assert res, "fused shading needs the VMEM-resident operand"
     sc = prep.scene
-    plan = cull(prep, origin, direction, tile, maxv, apex=True)
+    plan = cull(prep, origin, direction, tile, maxv, apex=True,
+                ab=analytic_tile_bounds(cam_spec, n))
     vmx, focal, wd, hd, tpx = cam_spec
     tiles_x = -(-wd // tpx)
     shade = (light_pos, light_color, sc.obj_color, sc.obj_ambient,

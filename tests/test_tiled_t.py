@@ -260,3 +260,43 @@ def test_fused_phong_matches_integrator(monkeypatch):
     assert m.sum() > 500
     np.testing.assert_allclose(np.asarray(rad_f)[m], np.asarray(rad_u)[m],
                                rtol=2e-5, atol=2e-6)
+
+
+def test_analytic_tile_bounds_match_ray_reductions():
+    """analytic_tile_bounds (O(tiles) corner math) must reproduce the
+    O(R) per-tile ray reductions exactly for affine primary bundles:
+    d is affine in (px, py) so its per-tile extremes sit at the rect
+    corners, and the projective (ru, rv, dw) extremes likewise (central
+    projection maps the rect to a quad with corner vertices)."""
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+    from simple_raytracer_tpu.scene.catalog import orbit_view
+
+    W, H, tpx = 96, 64, 16
+    for vm in (None, orbit_view(40.0, 50.0, -50.0, 30.0, 90.0)):
+        o, d, tx, ty = primary_rays_tiled(W, H, tpx, 400.0, False,
+                                          view_matrix=vm)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        n = o.shape[0] // (tpx * tpx)
+        ab = tiled_t.analytic_tile_bounds(
+            (None if vm is None else jnp.asarray(vm, jnp.float32),
+             400.0, W, H, tpx), n)
+        dt = np.asarray(d).reshape(n, tpx * tpx, 3)
+        np.testing.assert_allclose(np.asarray(ab["dmin"]), dt.min(1),
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ab["dmax"]), dt.max(1),
+                                   rtol=1e-6, atol=1e-4)
+        ot = np.asarray(o).reshape(n, tpx * tpx, 3)
+        np.testing.assert_allclose(np.asarray(ab["omin"]), ot.min(1),
+                                   atol=1e-6)
+        # projective bounds: conservative vs the ray set (corners bound
+        # the sampled grid); dw_hi must dominate every sampled dw
+        w = np.asarray(ab["w"])
+        dw = dt @ w
+        assert (np.asarray(ab["dw_hi"]) >= dw.max(1) - 1e-4).all()
+        s_, v_ = np.asarray(ab["s"]), np.asarray(ab["v"])
+        ru = (dt @ s_) / np.maximum(dw, 1e-12)
+        rv = (dt @ v_) / np.maximum(dw, 1e-12)
+        assert (np.asarray(ab["ru_lo"]) <= ru.min(1) + 1e-4).all()
+        assert (np.asarray(ab["ru_hi"]) >= ru.max(1) - 1e-4).all()
+        assert (np.asarray(ab["rv_lo"]) <= rv.min(1) + 1e-4).all()
+        assert (np.asarray(ab["rv_hi"]) >= rv.max(1) - 1e-4).all()
