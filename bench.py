@@ -135,7 +135,7 @@ def run_golden_agreement() -> dict:
     return out
 
 
-def run_soft_shadow(frames: int = 8) -> dict:
+def run_soft_shadow(frames: int = 32) -> dict:
     """Soft-shadow hardware metric (VERDICT r3 weak-metric ask): the
     BASELINE config-4 class — bunny + ground, 600x400, S=16 jittered
     light samples folded into one batched any-hit pass
@@ -228,7 +228,7 @@ def run_train_step() -> dict:
     target = jnp.where(hit[..., None], rad, 0.0)
     params = extract_params(prep.scene, light + 40.0)
     step = make_train_step(prep, cfg, lr=1e-3)
-    N = 8
+    N = 32
 
     @jax.jit
     def many(params, target):
@@ -297,7 +297,12 @@ def run_once(mode: str, width: int, height: int, frames: int,
         radiance, hit = render_radiance(operand, cfg, light_pos)
         return integrator.finalize_image(radiance, hit, cfg)
 
-    NF = max(frames, 8)
+    # 64 frames per timed call: the tunneled TPU has a ~27 ms FIXED
+    # per-call overhead (dispatch + scalar fetch + program launch,
+    # scripts/xla_op_probe.py + /tmp overhead fit: N=1 27.2 ms, N=256
+    # 0.13 ms/iter) — at 8 frames that inflated every "ms/frame" by
+    # ~3.4 ms.  64 amortizes it to ~0.4 ms while keeping the call < 1 s.
+    NF = max(frames, 64)
 
     @jax.jit
     def many(operand, light_pos, eye):

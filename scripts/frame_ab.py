@@ -175,3 +175,35 @@ if "full_fused" in variants and getattr(prep, "has_attr", False):
     os.environ["SRT_FUSED_PHONG"] = "1"
     run_full("full_fused")
     os.environ["SRT_FUSED_PHONG"] = "0"
+
+
+if "cull_ab" in variants:
+    def cull_ab(V, lp):
+        oo, dd = rays(V)
+        ab = tiled_t.analytic_tile_bounds((V, FOCAL, W, H, tpx),
+                                          oo.shape[0] // TILE)
+        plan = tiled_t.cull(prep, oo, dd, TILE, MAXV, apex=True, ab=ab)
+        return plan.astype(jnp.float32).sum() + lp.sum() * 0
+    timeit("cull_ab", cull_ab)
+
+if "kernel_shaded" in variants and getattr(prep, "has_attr", False):
+    def kernel_shaded(V, lp):
+        oo, dd = rays(V)
+        t, idx, objv, rgb = tiled_t.hits_shaded(
+            prep, oo, dd, TILE, cfg.mt_eps, lp,
+            jnp.asarray(cfg.light.color, jnp.float32), MAXV,
+            (V, FOCAL, W, H, tpx))
+        return (jnp.where(jnp.isfinite(t), t, 0.).sum()
+                + jnp.where(jnp.isfinite(t)[:, None], rgb, 0.).sum())
+    timeit("kernel_shaded", kernel_shaded)
+
+
+if "cull_k" in variants:
+    for mv in (128, 64):
+        def cull_k(V, lp, mv=mv):
+            oo, dd = rays(V)
+            ab = tiled_t.analytic_tile_bounds((V, FOCAL, W, H, tpx),
+                                              oo.shape[0] // TILE)
+            plan = tiled_t.cull(prep, oo, dd, TILE, mv, apex=True, ab=ab)
+            return plan.astype(jnp.float32).sum() + lp.sum() * 0
+        timeit(f"cull_ab_maxv{mv}", cull_k)
