@@ -38,7 +38,7 @@ from simple_raytracer_tpu.render.renderer import render_radiance
 from simple_raytracer_tpu.ops.camera import primary_rays_tiled
 
 W, H = 1920, 1080
-N = 8
+N = 64
 FOCAL = 6000.0
 variants = sys.argv[1:] or ["full", "full_attrs", "noshade", "noocc",
                             "kernel", "cull"]
@@ -207,3 +207,13 @@ if "cull_k" in variants:
             plan = tiled_t.cull(prep, oo, dd, TILE, mv, apex=True, ab=ab)
             return plan.astype(jnp.float32).sum() + lp.sum() * 0
         timeit(f"cull_ab_maxv{mv}", cull_k)
+
+
+if "stile" in variants:
+    for st in (0, 1024, 256):
+        cfg_st = cfg.replace(shadow_tile=st)
+        def full_st(V, lp, c=cfg_st):
+            rad, hit = render_radiance(prep, c, lp, view_matrix=V)
+            img = integ.finalize_image(rad, hit, c)
+            return img.astype(jnp.int32).sum().astype(jnp.float32)
+        timeit(f"full_stile{st}", full_st)
