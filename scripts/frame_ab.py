@@ -65,6 +65,29 @@ MAXV = cfg.cull_maxv
 eye = jnp.eye(4, dtype=jnp.float32)
 
 
+def calibrate():
+    """Per-process device-state calibration (DESIGN.md round-4 part 3:
+    short kernels vary 2-4x across processes).  A fixed bf16 matmul whose
+    roofline time is known (~2.7 ms at 197 TFLOP/s) — report the ratio so
+    stage absolutes from different processes can be normalized."""
+    a = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        def one(i, acc):
+            return acc + (a @ a)[0, 0].astype(jnp.float32) + i * 0.0
+        return jax.lax.fori_loop(0, 32, one, jnp.float32(0))
+    float(mm(a))
+    t0 = time.time(); float(mm(a)); dt = (time.time() - t0) / 32
+    peak = 2 * 8192 ** 3 / 197e12 * 1e3
+    print(f"[calibration] {dt*1e3:.2f} ms/matmul "
+          f"(roofline {peak:.2f} -> state {peak/dt/1e3*100:.0f}%)",
+          flush=True)
+
+
+calibrate()
+
+
 def timeit(name, body):
     """body(V, light) -> scalar; V varies per frame (hoist-proof)."""
     @jax.jit
