@@ -75,7 +75,9 @@ def calibrate():
     @jax.jit
     def mm(a):
         def one(i, acc):
-            return acc + (a @ a)[0, 0].astype(jnp.float32) + i * 0.0
+            # consume the FULL product: a sliced consumer lets XLA shrink
+            # the matmul to one dot row
+            return acc + (a @ a).astype(jnp.float32).sum() + i * 0.0
         return jax.lax.fori_loop(0, 32, one, jnp.float32(0))
     float(mm(a))
     t0 = time.time(); float(mm(a)); dt = (time.time() - t0) / 32
@@ -240,3 +242,14 @@ if "stile" in variants:
             img = integ.finalize_image(rad, hit, c)
             return img.astype(jnp.int32).sum().astype(jnp.float32)
         timeit(f"full_stile{st}", full_st)
+
+
+if "wbah" in variants:
+    # any-hit window-width retune under the round-4 regime (in-process
+    # monkeypatch; WINDOW_BLOCKS_AH is read at trace time inside anyhit)
+    for wb in (4, 2):   # 8 fails NB%wb for this scene
+        tiled_t.WINDOW_BLOCKS_AH = wb
+        os.environ["SRT_ATTR_FETCH"] = "1"
+        os.environ["SRT_FUSED_PHONG"] = "1"
+        run_full(f"full_wbah{wb}")
+    tiled_t.WINDOW_BLOCKS_AH = 4
