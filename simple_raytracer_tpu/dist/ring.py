@@ -56,7 +56,8 @@ def _empty_record(R, dtype=jnp.float32):
     }
 
 
-def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
+def _local_hit_fn(shard, eps: float, tile: int, maxv: int,
+                  apex: bool = True):
     """Pick the per-rotation local intersector.
 
     Shards produced by :func:`shard_geometry` with ``culled=True`` carry
@@ -88,7 +89,7 @@ def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
         def local_hit(o, d):
             t, li = _tt.hits(prepn, lax.stop_gradient(o),
                              lax.stop_gradient(d), tile, eps, maxv,
-                             apex=True)
+                             apex=apex)
             return lax.stop_gradient(t), li
         return local_hit, True
 
@@ -100,12 +101,9 @@ def _local_hit_fn(shard, eps: float, tile: int, maxv: int):
         def local_hit(o, d):
             # the kernel has no VJP: freeze it; ring_nearest_hit restores
             # differentiability by the fixed-topology recompute afterwards.
-            # apex=True: the ring rotates PRIMARY rays (one camera origin
-            # per frame), so the projective pixel-space cull applies to
-            # every shard-local walk.
             t, li = tk.tiled_hits(bs, lax.stop_gradient(o),
                                   lax.stop_gradient(d), tile, eps, maxv,
-                                  apex=True)
+                                  apex=apex)
             return lax.stop_gradient(t), li
         return local_hit, True
 
@@ -132,7 +130,8 @@ def _decode_pack(pk, lean: bool):
 
 
 def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
-                     tile: int = 256, maxv: int = 64, lean: bool = False):
+                     tile: int = 256, maxv: int = 64, lean: bool = False,
+                     apex: bool = True):
     """Global nearest hit with triangle-sharded geometry.
 
     Args:
@@ -143,6 +142,13 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
         path (shard_geometry(culled=True)).
       o, d: [R, 3] this device's home ray block.
       axis: mesh axis name the geometry is sharded over.
+      apex: CONTRACT — True (the default) asserts every ray of every home
+        block shares ONE origin (primary rays from one camera), which
+        enables the projective pixel-space cull in the shard-local Pallas
+        walks (kernels/tiled._visibility_px).  That cull is UNSOUND for
+        secondary / mixed-origin rays (it would silently drop reachable
+        blocks — missed hits); such callers must pass apex=False to fall
+        back to the interval cull.
 
     Returns (t [R], record dict) — the hit record carries the winning
     triangle's attributes, so shading needs no remote gathers.
@@ -150,7 +156,7 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
     n = lax.axis_size(axis)
     R = o.shape[0]
     perm = [(i, (i + 1) % n) for i in range(n)]
-    local_hit, used_kernel = _local_hit_fn(shard, eps, tile, maxv)
+    local_hit, used_kernel = _local_hit_fn(shard, eps, tile, maxv, apex)
     # Packed-record fast path (shard_geometry rec_pack/rec_flat): the
     # winner-attribute carry is ONE [R, K] gather + one where per rotation
     # instead of five — round 4 established ray-sized gathers never

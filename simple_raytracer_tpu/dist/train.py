@@ -128,7 +128,20 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
         return tt.reshape(ty, tpx, tx, tpx, 3).transpose(
             0, 2, 1, 3, 4).reshape(-1, 3)
 
-    def local_loss(params: DiffParams, oo, dd, tt):
+    # Tile-major IN-FRAME mask: primary_rays_tiled pads ragged frames with
+    # REAL rays past the frame edge (pixel coords beyond W/H) that can hit
+    # geometry (ground planes, border-crossing meshes), while _flat_target
+    # zero-pads — an unmasked pred there shifts the loss optimum and
+    # contaminates every gradient whenever W/H are not tile multiples
+    # (measured: loss 0.0061 at ground-truth params on a 32x20 frame).
+    # A ones-image pushed through the same padding is exactly the mask.
+    if tile_layout is None:
+        mask = jnp.ones((R, 1), jnp.float32)
+    else:
+        mask = _flat_target(
+            jnp.ones((cam.height, cam.width, 3), jnp.float32))[:, :1]
+
+    def local_loss(params: DiffParams, oo, dd, tt, mm):
         s, light = apply_params(scene, params)
         if prep is not None and cfg.mode in ("bvh", "tiled"):
             from ..diff.render import render_radiance_diff
@@ -144,26 +157,27 @@ def make_train_step(scene, cfg: RenderConfig, mesh: Optional[Mesh] = None,
             if remat:
                 fwd = jax.checkpoint(fwd, static_argnums=())
             radiance, hit = fwd(s, oo, dd, light)
-        pred = jnp.where(hit[:, None], radiance, 0.0)
+        pred = jnp.where(hit[:, None], radiance, 0.0) * mm
         return jnp.sum((pred - tt) ** 2)
 
     if mesh is None:
         def loss_fn(params, target):
-            return local_loss(params, o, d, _flat_target(target)) / Rimg
+            return local_loss(params, o, d, _flat_target(target),
+                              mask) / Rimg
     else:
         def loss_fn(params, target):
-            def shard_body(params, oo, dd, tt):
+            def shard_body(params, oo, dd, tt, mm):
                 # psum here so the scalar loss is replicated; param grads get
                 # the matching psum from AD's transpose rule.
-                return jax.lax.psum(local_loss(params, oo, dd, tt), axis)
+                return jax.lax.psum(local_loss(params, oo, dd, tt, mm), axis)
             # check_vma=False: the Pallas interpreter (CPU tests) mixes
             # varying and unvarying operands in its internal dynamic_slices
             # (same workaround as dist/sharding.py render_sharded)
             f = jax.shard_map(
                 shard_body, mesh=mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
                 out_specs=P(), check_vma=False)
-            return f(params, o, d, _flat_target(target)) / Rimg
+            return f(params, o, d, _flat_target(target), mask) / Rimg
 
     if optimizer is not None:
         # optax path: step(params, opt_state, target) -> (params, opt_state,

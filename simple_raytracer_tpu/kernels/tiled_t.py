@@ -618,9 +618,15 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
               for c in range(3)]
         amb = jnp.where(m, cam[r0 + 6:r0 + 7], amb)
         shin = jnp.where(m, cam[r0 + 7:r0 + 8], shin)
-    # rv ** shin via exp/log (rv >= 0; 0 ** s = 0 for s > 0)
-    pw = jnp.where(rv > 0.0, jnp.exp(shin * jnp.log(jnp.maximum(rv, 1e-38))),
-                   0.0)
+    # rv ** shin via exp/log (rv >= 0; 0 ** s = 0 for s > 0).  The
+    # shin == 0 branch matches jnp.power / C++ pow: 0 ** 0 = 1 (the
+    # integrator and the reference give full specular on back-facing-
+    # reflection pixels of a shininess-0 material; exp(0 * log(eps)) = 1
+    # covers the rv == 0 corner exactly).  The floor must be a NORMAL f32:
+    # the TPU flushes denormals, so max(rv, 1e-38) stayed 0 and
+    # 0 * log(0) = NaN poisoned exactly the shin==0, rv==0 pixels.
+    pw = jnp.where((rv > 0.0) | (shin == 0.0),
+                   jnp.exp(shin * jnp.log(jnp.maximum(rv, 1e-30))), 0.0)
     nl_f = nla if specular_nl else jnp.float32(1.0)
     spec_w = nl_f * pw
     rgb = [pc[c] * (nla + amb) + sc[c] * spec_w for c in range(3)]

@@ -300,3 +300,41 @@ def test_analytic_tile_bounds_match_ray_reductions():
         assert (np.asarray(ab["ru_hi"]) >= ru.max(1) - 1e-4).all()
         assert (np.asarray(ab["rv_lo"]) <= rv.min(1) + 1e-4).all()
         assert (np.asarray(ab["rv_hi"]) >= rv.max(1) - 1e-4).all()
+
+
+def test_fused_phong_shininess_zero_matches_integrator(monkeypatch):
+    """shininess == 0 corner: jnp.power(0, 0) == 1 (and C++ pow(0,0) == 1),
+    so a shininess-0 material gets FULL specular even where the clamped
+    r.v is 0.  The fused epilogue's exp/log form must reproduce that
+    (regression: where(rv > 0, ...) silently returned 0 there)."""
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("cube.obj"), key="cube")
+    sm.set_color("cube", (0.2, 0.8, 0.3))
+    sm.set_properties("cube", shininess=0.0)
+    sm.transform_triangles(
+        "cube", T.translate((0.0, 5.0, 80.0)) @ T.rotate_y(25.0)
+        @ T.scale(15.0, 15.0, 15.0))
+    scene = sm.build()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    prep = prepare(scene, cfg)
+    o, d, _, _ = primary_rays_tiled(128, 128, 64, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (None, 400.0, 128, 128, 64)
+
+    monkeypatch.setenv("SRT_FUSED_PHONG", "1")
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    monkeypatch.setenv("SRT_FUSED_PHONG", "0")
+    rad_u, hit_u = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_u) == m).all()
+    assert m.sum() > 500
+    np.testing.assert_allclose(np.asarray(rad_f)[m], np.asarray(rad_u)[m],
+                               rtol=2e-5, atol=2e-6)

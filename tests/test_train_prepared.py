@@ -77,3 +77,18 @@ def test_prepared_train_step_descends_and_matches(setup):
                  prep, light)
     np.testing.assert_allclose(single, mesh, rtol=1e-6)
     np.testing.assert_allclose(single, remat, rtol=1e-6)
+
+
+@needs_assets
+def test_pad_band_rays_do_not_shift_loss_optimum(setup):
+    """primary_rays_tiled pads ragged frames with REAL out-of-frame rays
+    that can hit geometry (the ground slab here); the train loss masks that
+    pad band, so the loss at the GROUND-TRUTH parameters must be ~0 even
+    when width/height are not tile multiples (64x32 at 64px tiles pads 32
+    rows).  Regression: before the mask, pred carried nonzero radiance
+    against zero-padded target rows (measured loss 0.0061 at truth)."""
+    prep, cfg, light, target = setup
+    step = make_train_step(prep, cfg, lr=0.0)     # lr 0: params untouched
+    params = extract_params(prep.scene, light)
+    _, loss = step(params, target)
+    assert float(loss) < 1e-10, float(loss)
