@@ -245,6 +245,41 @@ def run_train_step() -> dict:
     return {"train_step_bunny_960x540_ms": round(ms, 2)}
 
 
+def run_calibration() -> dict:
+    """Per-process calibration kernel (VERDICT r4 #5): the tunneled chip
+    shows 2-4x PROCESS-to-process throughput variance on short kernels
+    (DESIGN.md part 3 — the same standalone walk measured 1.8 and 7.0 ms
+    in different processes), so stage absolutes from different processes
+    are not comparable raw.  Every BENCH line now carries ``calib_ms``:
+    the amortized per-iteration time of a FIXED reference workload (a
+    matmul + elementwise chain shaped like one walk super-step), measured
+    in the same process as the headline.  Cross-process stage comparisons
+    quote ratios against their own line's calib_ms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    K, M, T = 64, 2048, 4096      # one nearest super-step's contraction
+    a = jnp.ones((K, M), jnp.bfloat16)
+    b = jnp.ones((K, T), jnp.bfloat16)
+    N = 256
+
+    @jax.jit
+    def calib(a, b):
+        def one(i, acc):
+            q = jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = q[:128] * (1.0 / jnp.maximum(q[128:256], 1.0))
+            return jnp.minimum(acc, jnp.min(t, axis=0) + i)
+        return jax.lax.fori_loop(0, N, one,
+                                 jnp.full((T,), jnp.inf, jnp.float32))
+    np.asarray(calib(a, b))
+    t0 = time.time()
+    np.asarray(calib(a, b))
+    return {"calib_ms": round((time.time() - t0) * 1e3 / N, 4)}
+
+
 def run_once(mode: str, width: int, height: int, frames: int,
              shadows: bool) -> dict:
     import jax
@@ -368,6 +403,10 @@ def main():
     if args.single_attempt:
         result = run_once(args.mode or "tiled", args.width or 1920,
                           args.height or 1080, args.frames, args.shadows)
+        try:
+            result.update(run_calibration())
+        except Exception as e:                 # noqa: BLE001
+            print(f"# run_calibration failed: {e!r}", file=sys.stderr)
         if (args.mode or "tiled") == "tiled" and (args.width or 1920) >= 960:
             # head-to-head on the reference's own benchmark scene, merged
             # into the same JSON line; never allowed to kill the headline

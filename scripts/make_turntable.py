@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/gallery/turntable.gif")
+    p.add_argument("--mp4", default="example.mp4",
+                   help="also write an MPEG-4 (reference example.mp4 "
+                        "analog); empty string disables")
     p.add_argument("--scale", type=int, default=2,
                    help="downscale factor for the GIF")
     p.add_argument("--frames", type=int, default=36)
@@ -68,6 +71,21 @@ def main():
                  duration=120, loop=0, optimize=True)
     print(f"# wrote {args.out} "
           f"({os.path.getsize(args.out)/1e6:.2f} MB)", file=sys.stderr)
+
+    if args.mp4:
+        # the reference ships example.mp4 at its repo root (300x250 MPEG-4);
+        # mp4v is the one codec this image's OpenCV can write into an .mp4
+        import cv2
+        arr = [np.asarray(i) for i in imgs]
+        h, w = arr[0].shape[:2]
+        vw = cv2.VideoWriter(args.mp4, cv2.VideoWriter_fourcc(*"mp4v"),
+                             12, (w, h))
+        assert vw.isOpened(), "cv2 VideoWriter failed to open"
+        for f in arr:
+            vw.write(f[:, :, ::-1])
+        vw.release()
+        print(f"# wrote {args.mp4} "
+              f"({os.path.getsize(args.mp4)/1e6:.2f} MB)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,9 @@ def _add_render_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--width", type=int, default=600)       # :773
     p.add_argument("--height", type=int, default=400)
     p.add_argument("--focal", type=float, default=400.0)   # :506
-    p.add_argument("--mode", default="bvh",
+    # default = the benchmarked production path (every BENCH number is
+    # mode=tiled); bvh is the portable jnp fallback, bruteforce the oracle
+    p.add_argument("--mode", default="tiled",
                    choices=["bruteforce", "bvh", "tiled"])
     p.add_argument("--light-samples", type=int, default=1)  # :445
     p.add_argument("--no-shadows", action="store_true")     # :385-386

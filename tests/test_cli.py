@@ -44,3 +44,22 @@ def test_cli_train_checkpoint(tmp_path):
                "16", "--steps", "6", "--no-shadows", "--checkpoint", ck,
                "--log-every", "2"])
     assert rc == 0
+
+
+def test_cli_default_mode_is_tiled(tmp_path):
+    """The shipped default must be the benchmarked production path
+    (mode=tiled) — VERDICT r4 #8: every BENCH number is tiled, so
+    `python -m simple_raytracer_tpu render` with no flags has to hit it."""
+    import argparse
+    from simple_raytracer_tpu import cli
+    p = argparse.ArgumentParser()
+    cli._add_render_flags(p)
+    assert p.parse_args([]).mode == "tiled"
+
+    out = str(tmp_path / "g.png")
+    rc = main(["render", "--scene", "four_cubes", "--width", "80",
+               "--height", "60", "--out", out])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    bg = np.all(img == np.array([173, 216, 230]), axis=-1)
+    assert 0.05 < (~bg).mean() < 0.95

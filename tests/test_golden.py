@@ -90,7 +90,10 @@ def test_foreground_color_matches_committed_render(golden_pair):
     both = ~obg & ~rbg
     d = np.abs(ours - ref).max(axis=-1)
     frac = float((d[both] <= 2).mean())
-    assert frac > 0.80, f"foreground tol-2 agreement {frac:.3f}"
+    # >= 0.84: the RAW (unmasked) number has read 0.848 since round 3; this
+    # floor keeps the masked bench metric honest — the unmasked agreement
+    # cannot silently rot behind the frozen known-gap mask (VERDICT r4 #4).
+    assert frac > 0.84, f"foreground tol-2 agreement {frac:.3f}"
 
 
 @needs_assets
