@@ -202,6 +202,20 @@ if "full_fused" in variants and getattr(prep, "has_attr", False):
     os.environ["SRT_FUSED_PHONG"] = "0"
 
 
+if "fshadow" in variants and getattr(prep, "has_attr", False):
+    # round-5 fused-shadow A/B: production fused-Phong pipeline with the
+    # legacy XLA-glue shadow path (point build + O(R) cull reductions +
+    # ray-operand any-hit) vs the fused path (in-kernel bounds row ->
+    # O(tiles) analytic shadow plan -> from-t any-hit, zero ray-sized XLA)
+    os.environ["SRT_ATTR_FETCH"] = "1"
+    os.environ["SRT_FUSED_PHONG"] = "1"
+    os.environ["SRT_FUSED_SHADOW"] = "0"
+    run_full("full_legacy_shadow")
+    os.environ["SRT_FUSED_SHADOW"] = "1"
+    run_full("full_fused_shadow")
+    os.environ["SRT_FUSED_SHADOW"] = "0"
+
+
 if "cull_ab" in variants:
     def cull_ab(V, lp):
         oo, dd = rays(V)

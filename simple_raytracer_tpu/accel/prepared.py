@@ -88,12 +88,17 @@ class PreparedScene:
     block_size: int = dataclasses.field(default=32)
     stack_parts: int = dataclasses.field(default=6)     # products in gram_s
     has_attr: bool = dataclasses.field(default=False)   # attr_t is real
+    attr_tex: bool = dataclasses.field(default=False)   # attr_t is the
+                              # textured layout (ATTR_ROWS_TEX: normals +
+                              # obj + UV affine map + tex id; see
+                              # pack_attr_tex_stacked_np)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
             "leaf_count", "block_min", "block_max", "block_obj", "gram_t",
             "gram", "gram_s", "attr_t")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
-               "depth", "block_size", "stack_parts", "has_attr")
+               "depth", "block_size", "stack_parts", "has_attr",
+               "attr_tex")
 
     @property
     def num_pages(self) -> int:
@@ -267,6 +272,85 @@ def pack_attr_stacked_np(tri_normal, tri_obj, block_size: int,
     return cols
 
 
+# Textured attr layout (attr_tex): the UV affine-map transport.  The
+# reference interpolates BAKED texel coords with Ericson barycentrics of
+# the hit point (simple_raytracer.cpp:79-128, :348-361); both are affine
+# in p over the triangle plane, so texel(p) = A @ p + c with per-triangle
+# constants A [2,3], c [2] — ray-independent, hence transportable through
+# the one-hot fetch like any other attribute.  Rows:
+#   0-11   3 limbs x (nx, ny, nz, obj)        row l*4 + a   (as ATTR_N=4)
+#   12-35  3 limbs x (Au0,Au1,Au2,cu, Av0,Av1,Av2,cv)  row 12 + l*8 + a
+#          (a 2-limb variant measured 0.28-texel worst-case error through
+#           the |A.p| ~ 1e4 cancellation — 3 limbs restore ~f32 grade,
+#           0.006 texels, and the fetch matmul's M stays in one MXU tile)
+#   36     tex id, single limb (exact in bf16 for ids in [-1, 255])
+#   37-39  zero pad
+ATTR_ROWS_TEX = 40
+
+
+def uv_affine_np(verts_cart, uvs):
+    """Per-triangle affine texel map: texel(p) = (Au.p + cu, Av.p + cv).
+
+    Exactly the Ericson-barycentric interpolation of the baked texel
+    coords (ops/shading.py:barycentric + interpolate_uv) refactored into
+    ray-independent constants.  Degenerate triangles (den ~ 0, incl. the
+    page-padding copies) collapse to the constant map texel = uv[0]."""
+    import numpy as np
+    v = np.asarray(verts_cart, np.float64)
+    t = np.asarray(uvs, np.float64)                      # [T, 3, 2]
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    d00 = (e1 * e1).sum(1)
+    d01 = (e1 * e2).sum(1)
+    d11 = (e2 * e2).sum(1)
+    den = d00 * d11 - d01 * d01
+    safe = np.abs(den) > 1e-30
+    deni = np.where(safe, 1.0 / np.where(safe, den, 1.0), 0.0)[:, None]
+    g1 = (d11[:, None] * e1 - d01[:, None] * e2) * deni  # grad of bary(v1)
+    g2 = (d00[:, None] * e2 - d01[:, None] * e1) * deni  # grad of bary(v2)
+    A = (t[:, 1] - t[:, 0])[:, :, None] * g1[:, None, :] \
+        + (t[:, 2] - t[:, 0])[:, :, None] * g2[:, None, :]   # [T, 2, 3]
+    c = t[:, 0] - (A * v0[:, None, :]).sum(-1)               # [T, 2]
+    return A.astype(np.float32), c.astype(np.float32)
+
+
+def pack_attr_tex_stacked_np(verts_cart, tri_normal, tri_obj, tri_tex, uvs,
+                             block_size: int,
+                             pad_blocks: int = GRAM_T_PAD_BLOCKS):
+    """HOST packer for the TEXTURED kernel shade-attribute operand
+    (layout above; see pack_attr_stacked_np for the limb/lane scheme)."""
+    import numpy as np
+    A, c = uv_affine_np(verts_cart, uvs)
+    n = np.asarray(tri_normal, np.float32)
+    o = np.asarray(tri_obj, np.float32)[:, None]
+    tx = np.asarray(tri_tex, np.float32)[:, None]
+    T = n.shape[0]
+    assert T % block_size == 0, (T, block_size)
+    NB = T // block_size
+    lanes = (NB + pad_blocks) * 4 * block_size
+    uvrows = np.concatenate([A[:, 0], c[:, 0:1], A[:, 1], c[:, 1:2]],
+                            axis=1)                          # [T, 8]
+    base = np.concatenate([n, o], axis=1)                    # [T, 4]
+    h4, m4, l4 = split3_np(base)
+    h8, m8, l8 = split3_np(uvrows)
+    cols = np.zeros((ATTR_ROWS_TEX, lanes), h4.dtype)
+
+    def put(row, col_tri):                                   # [T] -> det lane
+        pv = col_tri.reshape(NB, 1, block_size)
+        cols[row, :NB * 4 * block_size] = np.pad(
+            pv, ((0, 0), (0, 3), (0, 0))).reshape(-1)
+
+    for li, part in enumerate((h4, m4, l4)):
+        for a in range(4):
+            put(li * 4 + a, part[:, a])
+    for li, part in enumerate((h8, m8, l8)):
+        for a in range(8):
+            put(12 + li * 8 + a, part[:, a])
+    put(36, tx[:, 0].astype(h4.dtype))
+    return cols
+
+
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     """Build per-object BVHs (reference topology), chain them into one global
     stackless array, reorder+pad the scene, and compute triangle blocks."""
@@ -399,12 +483,19 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         parts = 3 if (32 * lanes * 2 <= lim < 64 * lanes * 2) else 6
     gram_s = pack_blocks_stacked_np(vc, bs, parts)
 
-    # shade-attribute operand: only for configs the in-kernel fetch can
-    # serve (flat normals, no texture atlas — smooth/textured scenes need
-    # 9-24 more columns and keep the XLA record gather)
-    has_attr = (not bool(padded.has_textures)
-                and not bool(cfg.shading.smooth_normals))
-    if has_attr:
+    # shade-attribute operand: flat-shaded configs only (smooth normals
+    # would need 9 more interpolation columns and keep the XLA record
+    # gather).  Textured scenes get the fatter attr_tex layout carrying
+    # the per-triangle UV affine map + tex id (pack_attr_tex_stacked_np);
+    # untextured scenes keep the lean 16-row layout.
+    has_attr = not bool(cfg.shading.smooth_normals)
+    attr_tex = bool(padded.has_textures) and has_attr
+    if attr_tex:
+        attr_t = pack_attr_tex_stacked_np(
+            padded.verts_cart(), np.asarray(padded.tri_normal),
+            np.asarray(padded.tri_obj), np.asarray(padded.tri_tex),
+            np.asarray(padded.uvs), bs)
+    elif has_attr:
         attr_t = pack_attr_stacked_np(np.asarray(padded.tri_normal),
                                       np.asarray(padded.tri_obj), bs)
     else:
@@ -432,5 +523,6 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         depth=int(flat.depth),
         block_size=int(bs),
         stack_parts=int(parts),
+        attr_tex=attr_tex,
     )
     return jax.device_put(ps)

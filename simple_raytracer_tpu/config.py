@@ -140,6 +140,14 @@ class KernelConfig:
     # tonemap outside.  Round-4 hardware A/B (view-varied frames, bunny
     # 1080p shadowed): 17.75 -> 16.06 ms/frame.  Env: SRT_FUSED_PHONG.
     fused_phong: bool = True
+    # Fused shadow pipeline for flat-untextured S=1 scenes on the fused-
+    # Phong path: the nearest kernel additionally emits per-tile hit-point
+    # bounds, the shadow plan is built O(tiles) from them
+    # (analytic_shadow_bounds), and the any-hit kernel rebuilds its rays
+    # in VMEM from the t row (no [R,3] point arrays, no O(R) cull
+    # reductions, no ray-operand DMA — round-5 fusion step 1).
+    # Env: SRT_FUSED_SHADOW.
+    fused_shadow: bool = True
     # Projective cull composition for apex tiles: "and" = px test refines
     # the interval test (default; "only" is plan-equivalent and ~6 ms
     # cheaper isolated but degraded the round-3 full-frame schedule

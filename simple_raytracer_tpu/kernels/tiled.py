@@ -214,8 +214,12 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
     # Kept as a measurement knob until that is understood.
     from ..config import KernelConfig
     _PX_MODE = _os.environ.get("SRT_PX_MODE", KernelConfig().px_mode)
-    if ab is not None and not apex:
-        ab = None                     # analytic bounds are apex-only
+    # analytic bounds come in two flavors: primary apex tiles
+    # (tiled_t.analytic_tile_bounds) and hit-point-box shadow tiles
+    # (tiled_t.analytic_shadow_bounds, tagged "rev")
+    ab_rev = ab if (ab is not None and ab.get("rev")) else None
+    if ab is not None and not (apex or (apex_rev and ab_rev is not None)):
+        ab = None
     if apex and _PX_MODE == "only":
         visible_b, tlo_b, n = _visibility_px(o, d, tile, block_min,
                                              block_max, block_obj, excl,
@@ -238,7 +242,7 @@ def cull_blocks_lists(o: jnp.ndarray, d: jnp.ndarray, tile: int,
         # interval/hourglass test above keeps the t >= 0 bound and px_rev
         # adds the angular tightening around the light.
         visible_b = visible_b & _visibility_px_rev(
-            o, d, tile, block_min, block_max)[0]
+            o, d, tile, block_min, block_max, pxb=ab_rev)[0]
     # LOAD-BEARING barrier: the [n, NB] mask/bound are each consumed by
     # ~6 downstream reduces (page-any, tlo min, page_cnt, first/last,
     # sort key); XLA treats the producing compare chains as
@@ -594,7 +598,7 @@ def _visibility_px(o, d, tile, block_min, block_max,
 
 
 def _visibility_px_rev(o, d, tile, block_min, block_max,
-                       block_obj=None, excl=None):
+                       block_obj=None, excl=None, pxb=None):
     """Projective LINE-membership visibility for hard-shadow tiles: every
     ray passes through ONE shared light L = o[i] + d[i].  Returns
     (visible [n, NB], tlo [n, NB], n) — same contract as
@@ -614,22 +618,31 @@ def _visibility_px_rev(o, d, tile, block_min, block_max,
     conservatively visible; empty (pad) blocks and ``excl``-pure blocks
     are culled exactly like :func:`_visibility`.
     """
-    o, d, _ = pad_rays(o, d, tile)
-    n = o.shape[0] // tile
-    s, v, w = _px_frame(-d)              # frame toward the scene
-    apex = o[0] + d[0]                   # the shared light (contract)
     BIG = jnp.float32(3.0e38)
     eps = jnp.float32(1e-12)
+    if pxb is not None:
+        # analytic per-tile bounds (tiled_t.analytic_shadow_bounds): the
+        # O(R) projective ray reductions collapse to O(tiles) corner math
+        s, v, w = pxb["s"], pxb["v"], pxb["w"]
+        apex = pxb["apex"]
+        ru_lo, ru_hi = pxb["ru_lo"], pxb["ru_hi"]
+        rv_lo, rv_hi = pxb["rv_lo"], pxb["rv_hi"]
+        n = ru_lo.shape[0]
+    else:
+        o, d, _ = pad_rays(o, d, tile)
+        n = o.shape[0] // tile
+        s, v, w = _px_frame(-d)              # frame toward the scene
+        apex = o[0] + d[0]                   # the shared light (contract)
 
-    dw = d @ w
-    bad_r = jnp.abs(dw) <= eps
-    dws = jnp.where(bad_r, eps, dw)
-    ru = (d @ s) / dws
-    rv = (d @ v) / dws
-    ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
-    ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
-    rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
-    rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
+        dw = d @ w
+        bad_r = jnp.abs(dw) <= eps
+        dws = jnp.where(bad_r, eps, dw)
+        ru = (d @ s) / dws
+        rv = (d @ v) / dws
+        ru_lo = jnp.where(bad_r, -BIG, ru).reshape(n, tile).min(1)
+        ru_hi = jnp.where(bad_r, BIG, ru).reshape(n, tile).max(1)
+        rv_lo = jnp.where(bad_r, -BIG, rv).reshape(n, tile).min(1)
+        rv_hi = jnp.where(bad_r, BIG, rv).reshape(n, tile).max(1)
 
     c, empty = _px_block_corners(block_min, block_max, apex)
     cw = c @ w
@@ -1292,7 +1305,10 @@ def _shadow_tile(cfg, tile: int, prep) -> int:
     from . import tiled_t as _t
     stacked = getattr(prep, "gram_s", None) is not None and \
         _t._mode() == "stack"
-    return stile if stacked else min(stile, 1024)
+    # the spill cap is a Mosaic register-allocator concern — interpret
+    # mode (CPU tests, where stack maps to highest) runs through XLA and
+    # must pick the HARDWARE tile so the tested paths match production
+    return stile if (stacked or _interpret()) else min(stile, 1024)
 
 
 def tiled_shadow_fn(prep, tile: int, eps: float, maxv: int = 64,
@@ -1499,29 +1515,77 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                     "1" if cfg.kernel.fused_phong else "0") not in ("0",))
     if fused_ok:
         from ..ops import shading as _sh
-        t, tri_idx, objv, rgb = _t.hits_shaded(
+        want_sh = (cfg.light.enable_shadows
+                   and prep.scene.obj_color.shape[0] > 1)
+        # FUSED shadow (round 5): the nearest kernel emits per-tile
+        # hit-point bounds, the shadow plan is O(tiles)
+        # (analytic_shadow_bounds), and the any-hit kernel rebuilds its
+        # rays in VMEM from the t row — between the two kernels no
+        # ray-sized XLA op remains in the frame at all.  Needs the
+        # shadow pass at the PRIMARY tile (dense scenes re-chunk to
+        # finer shadow tiles and keep the legacy path) and list-mode
+        # plans.
+        fshadow = (want_sh and _shadow_tile(cfg, tile, prep) == htile
+                   and cfg.cull_maxv > 0
+                   and prep.block_min.shape[0]
+                   // _t.WINDOW_BLOCKS_AH <= 65536
+                   and _os.environ.get(
+                       "SRT_FUSED_SHADOW",
+                       "1" if cfg.kernel.fused_shadow else "0")
+                   not in ("0",))
+        out = _t.hits_shaded(
             prep, origin, direction, htile, cfg.mt_eps, light_pos,
             jnp.asarray(cfg.light.color, jnp.float32), cfg.cull_maxv,
             cspec, cfg.shading.double_sided_diffuse,
-            cfg.shading.specular_nl_factor)
+            cfg.shading.specular_nl_factor, want_bounds=fshadow)
+        if fshadow:
+            t, tri_idx, objv, rgb, bounds = out
+        else:
+            t, tri_idx, objv, rgb = out
         hitm = jnp.isfinite(t)
-        if cfg.light.enable_shadows and prep.scene.obj_color.shape[0] > 1:
-            tsafe = jnp.where(hitm, t, 0.0)
-            point = jnp.where(hitm[:, None],
-                              origin + tsafe[:, None] * direction, 0.0)
-            stile = _shadow_tile(cfg, tile, prep)
-            shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps,
-                                        cfg.cull_maxv,
-                                        cfg.light.shadow_no_max_t, 1,
-                                        impl=impl)
-            s = shadow_fn(point, jnp.broadcast_to(light_pos, point.shape),
-                          objv, hit=hitm)
+        if getattr(prep, "attr_tex", False):
+            # XLA finish for textured scenes: the kernel emitted the
+            # color-independent Phong factors + texel coords (hits_shaded
+            # tex mode); only the texel gather + small-table material
+            # selects are ray-sized here (simple_raytracer.cpp:348-361).
+            comp = rgb                                     # [R, 6]
+            sc = prep.scene
+            lc = jnp.asarray(cfg.light.color, jnp.float32)
+            tex_id = jnp.round(comp[:, 5]).astype(jnp.int32)
+            ms = integrator.material_select(sc, jnp.maximum(objv, 0))
+            tex_rgb = _sh.texture_fetch(sc.tex_data, sc.tex_offset,
+                                        sc.tex_width, sc.tex_height,
+                                        tex_id, comp[:, 2:4])
+            color = jnp.where((tex_id >= 0)[:, None], tex_rgb,
+                              ms["color"])
+            rgb = (_sh.INV_PI * lc * color * comp[:, 0:1]
+                   + lc * ms["specular"][:, None] * comp[:, 1:2])
+        if want_sh:
+            if fshadow:
+                s = _t.anyhit_from_t(prep, t, objv, bounds, htile,
+                                     cfg.mt_eps,
+                                     cfg.light.shadow_no_max_t,
+                                     light_pos, cspec, cfg.cull_maxv)
+            else:
+                tsafe = jnp.where(hitm, t, 0.0)
+                point = jnp.where(hitm[:, None],
+                                  origin + tsafe[:, None] * direction, 0.0)
+                stile = _shadow_tile(cfg, tile, prep)
+                shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps,
+                                            cfg.cull_maxv,
+                                            cfg.light.shadow_no_max_t, 1,
+                                            impl=impl)
+                s = shadow_fn(point,
+                              jnp.broadcast_to(light_pos, point.shape),
+                              objv, hit=hitm)
             rgb = jnp.where(s[:, None], rgb / cfg.light.shadow_dim, rgb)
         if cfg.shading.tonemap_enabled:
             rgb = _sh.tonemap(rgb, cfg.shading.reinhard_offset,
                               cfg.shading.gamma)
         return rgb, hitm
-    if fetch_ok:
+    if fetch_ok and not getattr(prep, "attr_tex", False):
+        # (attr_tex preps are only decodable by the fused tex epilogue —
+        # with fused Phong off they take the record-gather path below)
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
                                           cfg.mt_eps, cfg.cull_maxv,
                                           apex=True, cam_spec=cspec)

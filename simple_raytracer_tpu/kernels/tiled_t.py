@@ -435,7 +435,7 @@ CAM_ROWS = 16
 
 def make_cam(view_matrix, focal: float, width: int, height: int,
              tile_px: int, n_tiles: int, tiles_x: int, tile_r: int,
-             shade=None):
+             shade=None, light_pos=None):
     """Build the iota-feature operands: (cam [ROWS, tile_r] f32 constant
     rows, tile_xy [n_tiles, 2] i32 pixel origins).
 
@@ -463,7 +463,10 @@ def make_cam(view_matrix, focal: float, width: int, height: int,
         o = V[:3, 3]
     parts = [A, B, C, o, jnp.ones((1,), jnp.float32)]
     if shade is None:
-        parts.append(jnp.zeros((3,), jnp.float32))
+        # rows 13-15: the light when a caller needs it in-kernel without
+        # the material rows (the from-t shadow walk), zeros otherwise
+        parts.append(jnp.zeros((3,), jnp.float32) if light_pos is None
+                     else jnp.asarray(light_pos, jnp.float32))
     else:
         light_pos, light_color, oc, oa, osp, osh = shade
         inv_pi = jnp.float32(1.0 / jnp.pi)
@@ -543,6 +546,57 @@ def analytic_tile_bounds(cam_spec, n: int):
     }
 
 
+def analytic_shadow_bounds(pmin, pmax, any_hit, light):
+    """O(tiles) cull bounds for HARD-SHADOW bundles from per-tile hit-point
+    boxes (the fused nearest kernel's bounds row — no ray-sized XLA work).
+
+    A tile's shadow rays are {o = p, d = light - p : p in [pmin, pmax]}
+    (hit lanes only; miss lanes are masked downstream).  Interval keys are
+    exact per axis: o in the point box, d in [light - pmax, light - pmin].
+    Projective light-apex keys (consumed by tiled._visibility_px_rev):
+    d is AFFINE in p over the box, so d.w is linear (sign-definite across
+    the box iff sign-definite at the 8 corners) and the sign-free
+    projective coords u = d.s/d.w are linear-fractional — extremal at the
+    corners whenever d.w is sign-definite.  Mixed-sign / near-zero corner
+    tiles get an unbounded rect (conservative).  Hitless tiles are
+    CLAMPED to a degenerate box at 0 (their plans are zeroed via
+    ``any_hit`` by the caller; the clamp keeps inf out of the interval
+    divisions).  Returns the ab dict for
+    tiled.cull_blocks_lists(ab=..., apex_rev=True).
+    """
+    BIG = jnp.float32(3.0e38)
+    eps = jnp.float32(1e-12)
+    light = jnp.asarray(light, jnp.float32)
+    ah = any_hit[:, None]
+    pmin = jnp.where(ah, pmin, 0.0)
+    pmax = jnp.where(ah, pmax, 0.0)
+    n = pmin.shape[0]
+    ctr = 0.5 * (pmin + pmax)
+    # shared projection frame toward the scene (any frame is valid; see
+    # tiled._px_frame) — hit tiles vote with their center direction
+    s, v, w = _ray_major._px_frame(
+        jnp.where(ah, ctr - light, 0.0))
+    bits = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1) == 1
+    corn = jnp.where(bits[None], pmax[:, None], pmin[:, None])  # [n, 8, 3]
+    dc = light - corn                                           # [n, 8, 3]
+    dw = dc @ w
+    ok = (dw > eps).all(axis=1) | (dw < -eps).all(axis=1)
+    dws = jnp.where(jnp.abs(dw) > eps, dw, eps)
+    ru = (dc @ s) / dws
+    rv = (dc @ v) / dws
+    okc = ok[:, None]
+    return {
+        "rev": True,
+        "omin": pmin, "omax": pmax,
+        "dmin": light - pmax, "dmax": light - pmin,
+        "s": s, "v": v, "w": w, "apex": light,
+        "ru_lo": jnp.where(okc, ru, -BIG).min(axis=1),
+        "ru_hi": jnp.where(okc, ru, BIG).max(axis=1),
+        "rv_lo": jnp.where(okc, rv, -BIG).min(axis=1),
+        "rv_hi": jnp.where(okc, rv, BIG).max(axis=1),
+    }
+
+
 def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
                       TILE_R: int, want_od: bool = False):
     """Kernel preamble for the iota path: per-frame constant rows ``cam``
@@ -567,20 +621,69 @@ def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
     return Fs
 
 
+def _build_feats_from_t(cam, tob, px0, py0, tpx: int, prec: str, parts: int,
+                        TILE_R: int):
+    """Kernel preamble for the FROM-T shadow walk: rebuild this tile's
+    shadow rays entirely in VMEM from the nearest pass's t row + the iota
+    cam rows — the occlusion query's rays are DATA (origins on surfaces),
+    but they are a pure function of (pixel, t, light), so no ray-sized
+    operand needs to exist in XLA at all.
+
+      d   = iota-rebuilt primary direction (same math as _build_feats_iota)
+      p   = o + t*d                  (t pinned to 0 on miss lanes)
+      o'  = p,  d' = light - p       (unnormalized: simple_raytracer.cpp
+                                      :325-326; no-max-t handled by the
+                                      occlusion predicate)
+
+    ``tob`` [2, T]: row 0 = t (+inf miss), row 1 = winner object id (f32).
+    Returns (walk operand, self_obj row [1,T], hit-mask row [1,T])."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_R), 1)
+    fx = (px0 + lane % tpx).astype(jnp.float32)
+    fy = (py0 + lane // tpx).astype(jnp.float32)
+    dx = fx * cam[0:1] + fy * cam[3:4] + cam[6:7]
+    dy = fx * cam[1:2] + fy * cam[4:5] + cam[7:8]
+    dz = fx * cam[2:3] + fy * cam[5:6] + cam[8:9]
+    t = tob[0:1]
+    hm = jnp.isfinite(t)
+    ts = jnp.where(hm, t, 0.0)
+    px = cam[9:10] + ts * dx
+    py = cam[10:11] + ts * dy
+    pz = cam[11:12] + ts * dz
+    sx = cam[13:14] - px
+    sy = cam[14:15] - py
+    sz = cam[15:16] - pz
+    cx = py * sz - pz * sy
+    cy = pz * sx - px * sz
+    cz = px * sy - py * sx
+    one = cam[12:13]
+    F10 = jnp.concatenate([sx, sy, sz, cx, cy, cz, px, py, pz, one], axis=0)
+    return _stack_bands(F10, prec, parts, TILE_R), tob[1:2], hm
+
+
 def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
-                 double_sided: bool, specular_nl: bool):
+                 double_sided: bool, specular_nl: bool,
+                 tex_mode: bool = False):
     """In-kernel Phong epilogue on [1, T] rows (fused shading for
-    flat-untextured common-apex scenes; ops/shading.py:phong is the
+    flat common-apex scenes; ops/shading.py:phong is the
     oracle, simple_raytracer.cpp:144-200 the reference).
 
     Inputs: cam constant rows (light at 13-15, per-object material rows
     from 16 — see make_cam), the ray rows from the iota preamble, the
     walk's best (t, id), and the attribute-fetch accumulator ``acc``
     [AR, T] (limb l of attribute a at row l*ATTR_N + a).  Returns
-    [4, T]: pre-tonemap unshadowed RGB + the winner's object id (the
-    occlusion pass's self-skip input).  Misses (id -1) produce garbage
-    rows that the caller masks — t is pinned to 0 first so no inf*0 NaN
-    can leak into a debug_nans run."""
+    ([4, T]: pre-tonemap unshadowed RGB + the winner's object id (the
+    occlusion pass's self-skip input), the hit-point rows (px, py, pz) —
+    the fused-shadow bounds reduction consumes them).  Misses (id -1)
+    produce garbage rows that the caller masks — t is pinned to 0 first
+    so no inf*0 NaN can leak into a debug_nans run.
+
+    ``tex_mode`` (textured scenes, accel/prepared.py:ATTR_ROWS_TEX
+    layout): the base color is a texture the kernel cannot gather, so
+    instead of RGB the epilogue emits the color-independent Phong factors
+    + the affine-map texel coords evaluated at the hit point:
+    [6, T] = (dw = |n.l| + ambient, sw = specular weight, texu, texv,
+    obj id, tex id); the XLA finish combines them with the texel gather
+    (render_flat_tiled)."""
     from ..accel.prepared import ATTR_N
     dx, dy, dz, ox, oy, oz = od_rows
     # exact limb decode (ordered magnitudes; see pack_attr_stacked_np)
@@ -606,6 +709,7 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
     rz = -lz + 2.0 * nl * nz
     rv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
     # per-object material rows (premultiplied, make_cam): unrolled select
+    # (tex mode resolves colors in XLA — only ambient/shininess needed)
     pc = [jnp.zeros_like(nl)] * 3
     sc = [jnp.zeros_like(nl)] * 3
     amb = jnp.zeros_like(nl)
@@ -613,9 +717,11 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
     for k in range(n_obj):
         r0 = CAM_ROWS + 8 * k
         m = objf == jnp.float32(k)
-        pc = [jnp.where(m, cam[r0 + c:r0 + c + 1], pc[c]) for c in range(3)]
-        sc = [jnp.where(m, cam[r0 + 3 + c:r0 + 4 + c], sc[c])
-              for c in range(3)]
+        if not tex_mode:
+            pc = [jnp.where(m, cam[r0 + c:r0 + c + 1], pc[c])
+                  for c in range(3)]
+            sc = [jnp.where(m, cam[r0 + 3 + c:r0 + 4 + c], sc[c])
+                  for c in range(3)]
         amb = jnp.where(m, cam[r0 + 6:r0 + 7], amb)
         shin = jnp.where(m, cam[r0 + 7:r0 + 8], shin)
     # rv ** shin via exp/log (rv >= 0; 0 ** s = 0 for s > 0).  The
@@ -629,8 +735,20 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
                    jnp.exp(shin * jnp.log(jnp.maximum(rv, 1e-30))), 0.0)
     nl_f = nla if specular_nl else jnp.float32(1.0)
     spec_w = nl_f * pw
+    if tex_mode:
+        # 3-limb UV affine decode + evaluation at the hit point
+        # (pack_attr_tex_stacked_np rows 12-36)
+        uv = [acc[12 + a:13 + a] + acc[20 + a:21 + a] + acc[28 + a:29 + a]
+              for a in range(8)]
+        au0, au1, au2, cu, av0, av1, av2, cv = uv
+        texu = au0 * px + au1 * py + au2 * pz + cu
+        texv = av0 * px + av1 * py + av2 * pz + cv
+        texf = acc[36:37]
+        dw = nla + amb
+        return (jnp.concatenate([dw, spec_w, texu, texv, objf, texf],
+                                axis=0), (px, py, pz))
     rgb = [pc[c] * (nla + amb) + sc[c] * spec_w for c in range(3)]
-    return jnp.concatenate(rgb + [objf], axis=0)
+    return jnp.concatenate(rgb + [objf], axis=0), (px, py, pz)
 
 
 def _step_quad(Gs, Ft, prec: str):
@@ -887,9 +1005,38 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             fcond, fbody, (jnp.int32(0),
                            jnp.zeros((AR, TILE_R), jnp.float32)))
         if fused is not None:
-            n_obj, dbl, snl = fused
-            attr_ref[0] = _fused_phong(cam, od_rows, bt, bidv, attrs,
-                                       n_obj, dbl, snl)
+            n_obj, dbl, snl, want_bounds, tex_mode = fused
+            out, prow = _fused_phong(cam, od_rows, bt, bidv, attrs,
+                                     n_obj, dbl, snl, tex_mode)
+            if want_bounds:
+                # per-tile hit-point bounds row (the fused-shadow path's
+                # O(tiles) cull input — see analytic_shadow_bounds): lanes
+                # 0-5 = hit-point box, 6 = any-hit, 7-8 = winner-object
+                # min/max (purity -> plan-time self-object exclusion).
+                # Cross-lane reductions over HIT lanes only; ~10 VPU ops
+                # per tile replace every ray-sized XLA reduction the
+                # legacy shadow cull paid.
+                px_r, py_r, pz_r = prow
+                hm = jnp.isfinite(bt)
+                INF = jnp.float32(jnp.inf)
+                objf = out[4:5] if tex_mode else out[3:4]
+
+                def mmin(x):
+                    return jnp.min(jnp.where(hm, x, INF))
+
+                def mmax(x):
+                    return jnp.max(jnp.where(hm, x, -INF))
+                vals = [mmin(px_r), mmin(py_r), mmin(pz_r),
+                        mmax(px_r), mmax(py_r), mmax(pz_r),
+                        jnp.max(jnp.where(hm, 1.0, 0.0)),
+                        mmin(objf), mmax(objf)]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, out.shape[1]), 1)
+                brow = jnp.zeros((1, out.shape[1]), jnp.float32)
+                for k, vv in enumerate(vals):
+                    brow = jnp.where(lane == k, vv, brow)
+                out = jnp.concatenate([out, brow], axis=0)
+            attr_ref[0] = out
         else:
             attr_ref[0] = attrs
 
@@ -1124,23 +1271,40 @@ def _prepass_kernel_t(BS: int, WB: int, eps: float, resident: bool,
 
 
 def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
-                     resident: bool, KW: int, od_parts: int, plan_ref,
-                     bobj_ref, Ft_ref, self_ref, G_in, hit_ref, *scratch):
+                     resident: bool, KW: int, od_parts: int, from_t_tpx: int,
+                     plan_ref, bobj_ref, Ft_ref, self_ref, G_in, hit_ref,
+                     *scratch):
     """Occlusion: ANY valid hit on a DIFFERENT object (reference quirks:
     no max-t, self-object skip — simple_raytracer.cpp:321-342).  Division-
     free MT predicate on the numerators; the self-object test is ONE
     scalar compare per block (``bobj_ref`` SMEM, blocks are single-object
     by construction — accel/prepared.py per-object page padding).  ``KW``
     comes from the wrapper (resident scenes use the fatter SUPER_ROWS_AH
-    step — the walk is matmul-issue bound and has no break to protect)."""
+    step — the walk is matmul-issue bound and has no break to protect).
+
+    ``from_t_tpx`` != 0 (the fused-shadow path): Ft_ref carries the iota
+    cam rows and self_ref the [2, T] (t, winner-object) block; the shadow
+    rays are rebuilt in VMEM (_build_feats_from_t) and MISS lanes start
+    found=1 so they never block the all-occluded early exit (their result
+    is masked by the caller; the legacy path achieved the same by
+    repairing miss origins to a same-tile hit point)."""
     i = pl.program_id(0)
     cnt, start, use_list, _b16 = _tile_plan_t(plan_ref, i, WB)
     ns = (cnt + KW - 1) // KW
-    Ft = Ft_ref[0]
-    TILE_R = Ft.shape[1]
-    if od_parts:
-        Ft = _build_feats(Ft, prec, od_parts, TILE_R)
-    self_obj = self_ref[0]                               # [1, TILE_R] f32
+    found_init = None
+    if from_t_tpx:
+        cam = Ft_ref[...]
+        TILE_R = cam.shape[1]
+        Ft, self_obj, hm = _build_feats_from_t(
+            cam, self_ref[0], plan_ref[i, 4], plan_ref[i, 5], from_t_tpx,
+            prec, od_parts, TILE_R)
+        found_init = jnp.where(hm, 0.0, 1.0)
+    else:
+        Ft = Ft_ref[0]
+        TILE_R = Ft.shape[1]
+        if od_parts:
+            Ft = _build_feats(Ft, prec, od_parts, TILE_R)
+        self_obj = self_ref[0]                           # [1, TILE_R] f32
     gbuf, sem_g = scratch if scratch else (None, None)
 
     if not resident and not _SYNC_DMA:
@@ -1227,7 +1391,9 @@ def _anyhit_kernel_t(BS: int, WB: int, eps: float, no_max_t: bool, prec: str,
         found = jnp.maximum(found, occ1)
         return j + 1, found, jnp.min(found) > 0.0
 
-    init = (jnp.int32(0), jnp.zeros((1, TILE_R), jnp.float32),
+    init = (jnp.int32(0),
+            jnp.zeros((1, TILE_R), jnp.float32) if found_init is None
+            else found_init,
             jnp.bool_(False))
     j_end, found, _ = jax.lax.while_loop(cond, body, init)
 
@@ -1378,8 +1544,8 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     assert not od_parts or groups == 1, (od_parts, groups)
     assert not iota_tpx or (cam is not None and groups == 1)
     assert fused is None or (fetch and iota_tpx), (fused, fetch, iota_tpx)
-    ar_out = (4 if fused is not None else
-              (At.shape[0] if fetch else 0))
+    ar_out = (((6 if fused[4] else 4) + (1 if fused[3] else 0))
+              if fused is not None else (At.shape[0] if fetch else 0))
     KF = None if iota_tpx else Ft.shape[1]   # contraction rows (16 f32 /
     #                             stacked bf16 / 8 o/d rows when od_parts)
 
@@ -1560,7 +1726,7 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
             scratch = [pltpu.VMEM((1, tile), jnp.float32)] + scratch
         else:
             kern = functools.partial(_anyhit_kernel_t, block, wb, eps,
-                                     no_max_t, prec, res, KW, od_parts)
+                                     no_max_t, prec, res, KW, od_parts, 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nl,),
@@ -1590,6 +1756,108 @@ def tiled_anyhit_t(Ft, self_obj, plan, Gt, bobj, tile: int, block: int,
     found = _chunk_tiles(call, n, Ft, self_obj, plan,
                          plan_w=plan.shape[1])
     return found.reshape(n, tile) != 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "wb", "eps",
+                                             "no_max_t", "prec", "res",
+                                             "od_parts", "tpx"))
+def tiled_anyhit_from_t(tob, plan, Gt, bobj, cam, tile: int, block: int,
+                        wb: int, eps: float, no_max_t: bool, prec: str,
+                        res: bool, od_parts: int, tpx: int):
+    """FROM-T occlusion query (the fused-shadow path).
+
+    tob [n, 2, tile] f32 (t row + winner-object row from hits_shaded),
+    cam [ROWS, tile] iota rows with the LIGHT at 13-15
+    (make_cam(light_pos=...)), plan with pixel origins in aux 4/5.  The
+    kernel rebuilds every shadow ray in VMEM (_build_feats_from_t) — the
+    only ray-sized operands are the two [tile]-lane input rows.
+    -> found [n, tile] bool."""
+    n = tob.shape[0]
+    KW = _kw(block, wb, prec, rows=SUPER_ROWS_AH if res else None)
+
+    def call(tobc, planc):
+        nl = tobc.shape[0]
+        scratch = [] if res else [
+            pltpu.VMEM((2, Gt.shape[0], KW * wb * 4 * block), Gt.dtype),
+            pltpu.SemaphoreType.DMA((2, KW)),
+        ]
+        kern = functools.partial(_anyhit_kernel_t, block, wb, eps,
+                                 no_max_t, prec, res, KW, od_parts, tpx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nl,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # cam rows
+                pl.BlockSpec((1, 2, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),       # t/obj rows
+                pl.BlockSpec(memory_space=pltpu.VMEM if res else pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=scratch,
+        )
+        (found,) = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[_out_struct((nl, 1, tile), jnp.int32, tobc)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT) if res else None,
+            interpret=_interpret(),
+        )(planc, bobj, cam, tobc, Gt)
+        return found
+
+    found = _chunk_tiles(call, n, tob, plan, plan_w=plan.shape[1])
+    return found.reshape(n, tile) != 0
+
+
+def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
+                  no_max_t: bool, light_pos, cam_spec, maxv: int):
+    """Fused-path hard-shadow query: NO ray-sized XLA work.
+
+    The nearest kernel emitted per-tile hit-point bounds (hits_shaded
+    want_bounds); the shadow plan is built O(tiles) from them
+    (analytic_shadow_bounds -> interval + projective light-apex tests),
+    and the any-hit kernel rebuilds the shadow rays in VMEM from the t
+    row + iota cam rows.  Semantics are the reference's
+    (simple_raytracer.cpp:321-342): origin = hit point, direction =
+    light - point (unnormalized), no max-t, self-object skip.  Returns
+    found [R] bool (miss lanes read 1 — callers mask by the hit mask)."""
+    vmx, focal, wd, hd, tpx = cam_spec
+    n = bounds.shape[0]
+    R = t.shape[0]
+    assert R == n * tile, (R, n, tile)
+    pmin, pmax = bounds[:, 0:3], bounds[:, 3:6]
+    ah = bounds[:, 6] > 0.0
+    obj_lo, obj_hi = bounds[:, 7], bounds[:, 8]
+    # plan-time self-object exclusion for PURE tiles (every hit lane left
+    # one object), exactly like the legacy path's excl
+    pure = ah & (obj_lo == obj_hi)
+    excl = jnp.where(pure, jnp.round(obj_lo).astype(jnp.int32),
+                     jnp.int32(-2))
+    ab = analytic_shadow_bounds(pmin, pmax, ah, light_pos)
+    plan = cull(prep, None, None, tile, maxv, excl,
+                wb=WINDOW_BLOCKS_AH, apex_rev=True, ab=ab)
+    plan = jnp.where(ah[:, None], plan, 0)      # skip hitless tiles
+    tiles_x = -(-wd // tpx)
+    cam, txy = make_cam(vmx, focal, wd, hd, tpx, n, tiles_x, tile,
+                        light_pos=light_pos)
+    plan = plan.at[:, 4].set(txy[:, 0]).at[:, 5].set(txy[:, 1])
+    G, prec, _Ft, _n, _R, odp = _operands(prep, _mode(), t, None, tile,
+                                          max_parts=3, want_ft=False)
+    res = _resident(G)
+    npad = (G.shape[1] // (4 * prep.block_size)
+            - prep.block_obj.shape[0])
+    bobj = jnp.concatenate(
+        [prep.block_obj, jnp.full((npad,), -1, jnp.int32)])
+    tob = jnp.stack([t.reshape(n, tile),
+                     obj.astype(jnp.float32).reshape(n, tile)], axis=1)
+    found = tiled_anyhit_from_t(tob, plan, G, bobj, cam, tile,
+                                prep.block_size, WINDOW_BLOCKS_AH, eps,
+                                no_max_t, prec=prec, res=res, od_parts=odp,
+                                tpx=tpx)
+    return found.reshape(-1)[:R]
 
 
 # ---------------------------------------------------------------------------
@@ -1830,7 +2098,8 @@ def hits_attrs(prep, origin, direction, tile: int, eps: float,
 
 def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
                 light_color, maxv: int = 248, cam_spec=None,
-                double_sided: bool = True, specular_nl: bool = True):
+                double_sided: bool = True, specular_nl: bool = True,
+                want_bounds: bool = False):
     """Nearest hit + FUSED in-kernel Phong over flat primary rays.
 
     The kernel's epilogue computes the reference's full Phong term
@@ -1841,9 +2110,17 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     obj [R] i32, rgb [R, 3] pre-tonemap unshadowed radiance).  The caller
     applies the shadow dim + tonemap (both elementwise).  Requires
     prep.has_attr, a resident operand, and a cam_spec (primary rays).
-    Misses hold garbage rgb — mask with isfinite(t)."""
+    Misses hold garbage rgb — mask with isfinite(t).
+
+    Textured scenes (prep.attr_tex): the base color is a texel the kernel
+    cannot gather, so the epilogue instead emits the color-independent
+    Phong factors + affine-map texel coords (_fused_phong tex_mode) and
+    the return becomes (t, idx, obj, comp [R, 6]) with comp columns
+    (dw, sw, texu, texv, obj, tex) — render_flat_tiled's XLA finish
+    gathers the texel and combines (simple_raytracer.cpp:348-361)."""
     iota = _use_iota(cam_spec, True, 1, maxv, tile)
     assert iota and prep.has_attr, (iota, prep.has_attr)
+    tex = bool(getattr(prep, "attr_tex", False))
     G, prec, _Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
                                         tile, want_ft=False)
     res = _resident(G)
@@ -1862,11 +2139,20 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     t, idx, out = tiled_nearest_t(
         None, plan, G, tile, prep.block_size, WINDOW_BLOCKS, eps,
         prec=prec, res=res, At=prep.attr_t, od_parts=odp, cam=cam,
-        iota_tpx=tpx, fused=(n_obj, bool(double_sided), bool(specular_nl)))
-    out = out.transpose(0, 2, 1).reshape(-1, 4)
-    rgb = out[:R, :3]
-    obj = jnp.round(out[:R, 3]).astype(jnp.int32)
-    return t.reshape(-1)[:R], idx.reshape(-1)[:R], obj, rgb
+        iota_tpx=tpx, fused=(n_obj, bool(double_sided), bool(specular_nl),
+                             bool(want_bounds), tex))
+    nr = 6 if tex else 4
+    bounds = out[:, nr, :9] if want_bounds else None     # [n, 9] tile rows
+    out = out[:, :nr].transpose(0, 2, 1).reshape(-1, nr)
+    if tex:
+        comp = out[:R]
+        obj = jnp.round(comp[:, 4]).astype(jnp.int32)
+        tail = (obj, comp)
+    else:
+        tail = (jnp.round(out[:R, 3]).astype(jnp.int32), out[:R, :3])
+    if want_bounds:
+        return (t.reshape(-1)[:R], idx.reshape(-1)[:R]) + tail + (bounds,)
+    return (t.reshape(-1)[:R], idx.reshape(-1)[:R]) + tail
 
 
 def _hourglass_for(prep) -> bool:

@@ -338,3 +338,125 @@ def test_fused_phong_shininess_zero_matches_integrator(monkeypatch):
     assert m.sum() > 500
     np.testing.assert_allclose(np.asarray(rad_f)[m], np.asarray(rad_u)[m],
                                rtol=2e-5, atol=2e-6)
+
+
+def _shadow_scene():
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("cube.obj"), key="cube")
+    sm.set_color("cube", (0.2, 0.8, 0.3))
+    sm.transform_triangles(
+        "cube", T.translate((0.0, 5.0, 80.0)) @ T.rotate_y(25.0)
+        @ T.scale(15.0, 15.0, 15.0))
+    sm.load_obj_file(reference_asset("sphere.obj"), key="sphere")
+    sm.set_color("sphere", (0.9, 0.9, 0.2))
+    sm.transform_triangles(
+        "sphere", T.translate((-10.0, -15.0, 60.0)) @ T.scale(6.0, 6.0, 6.0))
+    sm.load_obj_file(reference_asset("cube.obj"), key="ground")
+    sm.set_color("ground", (0.7, 0.6, 0.2))
+    sm.transform_triangles(
+        "ground", T.translate((0.0, 24.0, 80.0)) @ T.scale(30.0, 2.0, 30.0))
+    return sm.build()
+
+
+@pytest.mark.parametrize("view", ["identity", "orbit"])
+def test_fused_shadow_matches_legacy(monkeypatch, view):
+    """The fused-shadow pipeline (hits_shaded bounds row -> O(tiles)
+    analytic_shadow_bounds plan -> from-t any-hit kernel rebuilding rays
+    in VMEM) must reproduce the legacy XLA-glue shadow path: identical
+    hit masks and radiance (bit-equal for the identity view, where the
+    iota-rebuilt rays are exact)."""
+    import math
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    scene = _shadow_scene()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    prep = prepare(scene, cfg)
+    # off-axis camera aimed at the scene centroid (~(0, 5, 72)) so the
+    # iota ray rebuild exercises a non-trivial view matrix
+    V = None if view == "identity" else jnp.asarray(
+        T.view_matrix((35.0, -10.0, 15.0),
+                      (math.radians(13.0), math.radians(31.5), 0.0)),
+        jnp.float32)
+    o, d, _, _ = primary_rays_tiled(128, 128, 64, 400.0, False,
+                                    view_matrix=V)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (V, 400.0, 128, 128, 64)
+
+    called = []
+    orig = tiled_t.anyhit_from_t
+    monkeypatch.setattr(tiled_t, "anyhit_from_t",
+                        lambda *a, **k: (called.append(1), orig(*a, **k))[1])
+    monkeypatch.setenv("SRT_FUSED_SHADOW", "1")
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    assert called, "fused shadow path not taken"
+    monkeypatch.setenv("SRT_FUSED_SHADOW", "0")
+    rad_l, hit_l = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_l) == m).all()
+    assert m.sum() > 500
+    rf, rl = np.asarray(rad_f)[m], np.asarray(rad_l)[m]
+    if view == "identity":
+        np.testing.assert_array_equal(rf, rl)
+    else:
+        np.testing.assert_allclose(rf, rl, rtol=2e-4, atol=2e-5)
+
+    # the shadow pass must actually dim something: compare no-shadow
+    monkeypatch.setenv("SRT_FUSED_SHADOW", "1")
+    import dataclasses as _dc
+    cfg_ns = cfg.replace(light=_dc.replace(cfg.light,
+                                           enable_shadows=False))
+    rad_n, _ = tl.render_flat_tiled(prep, cfg_ns, o, d, light,
+                                    cam_spec=cspec)
+    dimmed = (np.asarray(rad_n)[m] - rf > 1e-6).any(axis=-1)
+    assert dimmed.sum() > 50, dimmed.sum()
+
+
+def test_fused_tex_matches_gather_path(monkeypatch):
+    """Textured scenes on the fused path (UV affine-map attr transport +
+    in-kernel Phong factors + XLA texel-gather finish) must reproduce the
+    legacy record-gather shading: identical hit masks, near-bit radiance
+    (the 3-limb UV transport holds texel coords to ~0.006 texels; allow a
+    vanishing fraction of +-1 texel truncation flips)."""
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("obj/tree/tree.obj"), key="tree")
+    sm.set_properties("tree", specular=0.0)
+    sm.transform_triangles(
+        "tree", T.translate((0.0, 25.0, 70.0))
+        @ T.rotate_x(-1.5707963) @ T.scale(0.06, 0.06, 0.06))
+    sm.load_obj_file(reference_asset("cube.obj"), key="ground")
+    sm.set_color("ground", (0.2, 0.8, 0.3))
+    sm.transform_triangles(
+        "ground", T.translate((0.0, 27.0, 60.0)) @ T.scale(25.0, 2.0, 25.0))
+    scene = sm.build()
+    assert scene.has_textures
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    prep = prepare(scene, cfg)
+    assert prep.attr_tex and prep.has_attr
+    o, d, _, _ = primary_rays_tiled(128, 128, 64, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (None, 400.0, 128, 128, 64)
+    monkeypatch.setenv("SRT_FUSED_PHONG", "1")
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    monkeypatch.setenv("SRT_FUSED_PHONG", "0")
+    rad_l, hit_l = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_l) == m).all()
+    assert m.sum() > 5000
+    rf, rl = np.asarray(rad_f)[m], np.asarray(rad_l)[m]
+    close = np.abs(rf - rl).max(axis=1) < 1e-3
+    assert close.mean() > 0.999, close.mean()     # texel truncation flips
+    np.testing.assert_allclose(rf[close], rl[close], rtol=2e-4, atol=2e-6)
