@@ -27,7 +27,7 @@ REFERENCE_RAYS_PER_S = 4900.0   # BASELINE.md: complex scene + BVH
 REFERENCE_COMPLEX_MS = 48990.0  # BASELINE.md: 48.99 s/frame, 36-frame sweep
 
 
-def run_complex(frames: int = 12) -> dict:
+def run_complex(frames: int = 36) -> dict:
     """Head-to-head on the reference's own headline benchmark: the active
     complex scene (ground cube + bunny + 3 textured trees, 600x400, hard
     shadows) over a turntable sweep (simple_raytracer.cpp:530-796), rendered

@@ -131,7 +131,7 @@ def _decode_pack(pk, lean: bool):
 
 def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
                      tile: int = 256, maxv: int = 64, lean: bool = False,
-                     apex: bool = True):
+                     apex: bool = True, overlap: bool = True):
     """Global nearest hit with triangle-sharded geometry.
 
     Args:
@@ -152,6 +152,16 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
 
     Returns (t [R], record dict) — the hit record carries the winning
     triangle's attributes, so shading needs no remote gathers.
+
+    ``overlap`` (default): the home block is split into two half-blocks
+    scheduled ring-attention style — half A's ppermute is issued BEFORE
+    half B's local walk and consumed after it (and vice versa), so each
+    rotation's ICI transfer has a full half-block walk of independent
+    compute to hide behind.  XLA cannot software-pipeline a collective
+    ACROSS scan iterations, so the plain schedule (walk -> ppermute ->
+    next iteration) serializes compute and communication; the in-body
+    interleave restores the overlap at identical semantics (bit-equal on
+    the CPU mesh, tests/test_dist.py).
     """
     n = lax.axis_size(axis)
     R = o.shape[0]
@@ -169,8 +179,8 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
     elif "rec_pack" in shard:
         pack_key = "rec_pack"
 
-    def step(carry, _):
-        o, d, best_t, rec = carry
+    def fold(blk):
+        o, d, best_t, rec = blk
         t, li = local_hit(o, d)
         better = t < best_t
         if pack_key is not None:
@@ -187,21 +197,49 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
                 "tex_id": jnp.where(better, shard["tri_tex"][li],
                                     rec["tex_id"]),
             }
-        best_t = jnp.minimum(best_t, t)
-        # rotate the ray block + its running record to the next device
-        o, d, best_t, rec = lax.ppermute((o, d, best_t, rec), axis, perm)
-        return (o, d, best_t, rec), None
+        return o, d, jnp.minimum(best_t, t), rec
 
-    if pack_key is not None:
-        rec0 = jnp.zeros((R, shard[pack_key].shape[-1]), o.dtype)
-        rec0 = rec0.at[:, 3 if pack_key == "rec_flat" else 24].set(-1.0)
-        rec0 = rec0.at[:, 4 if pack_key == "rec_flat" else 25].set(-1.0)
+    def rec_init(Rh):
+        if pack_key is not None:
+            rec0 = jnp.zeros((Rh, shard[pack_key].shape[-1]), o.dtype)
+            rec0 = rec0.at[:, 3 if pack_key == "rec_flat" else 24].set(-1.0)
+            rec0 = rec0.at[:, 4 if pack_key == "rec_flat" else 25].set(-1.0)
+            return rec0
+        return _empty_record(Rh, o.dtype)
+
+    def blk_init(o, d):
+        Rh = o.shape[0]
+        return jax.tree.map(
+            lambda x: match_vma(x, o),
+            (o, d, jnp.full((Rh,), jnp.inf, o.dtype), rec_init(Rh)))
+
+    if overlap and n > 1:
+        # half-block double buffer.  Invariant at body start: A is FOLDED
+        # on this device and ready to send; B has ARRIVED but not folded.
+        Rh = R // 2
+
+        def step2(carry, _):
+            A, B = carry
+            A2 = lax.ppermute(A, axis, perm)   # A flies over ICI ...
+            Bf = fold(B)                       # ... while B walks locally
+            B2 = lax.ppermute(Bf, axis, perm)  # B flies ...
+            Af = fold(A2)                      # ... while arrived-A walks
+            return (Af, B2), None
+
+        A0 = fold(blk_init(o[:Rh], d[:Rh]))
+        B0 = blk_init(o[Rh:], d[Rh:])
+        (Af, B2), _ = lax.scan(step2, (A0, B0), None, length=n - 1)
+        A_home = lax.ppermute(Af, axis, perm)
+        B_home = lax.ppermute(fold(B2), axis, perm)
+        o2, d2, t, rec = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), A_home, B_home)
     else:
-        rec0 = _empty_record(R, o.dtype)
-    init = jax.tree.map(
-        lambda x: match_vma(x, o),
-        (o, d, jnp.full((R,), jnp.inf, o.dtype), rec0))
-    (o2, d2, t, rec), _ = lax.scan(step, init, None, length=n)
+        def step(carry, _):
+            carry = fold(carry)
+            # rotate the ray block + its running record to the next device
+            return lax.ppermute(carry, axis, perm), None
+
+        (o2, d2, t, rec), _ = lax.scan(step, blk_init(o, d), None, length=n)
     # n rotations of +1 bring every block back to its home device
     if pack_key is not None:
         rec = _decode_pack(rec, pack_key == "rec_flat")
@@ -218,11 +256,14 @@ def ring_nearest_hit(shard, o, d, axis: str = "gp", eps: float = 1e-12,
 
 def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
                        eps: float = 1e-12, no_max_t: bool = True,
-                       hit=None, tile: int = 256, maxv: int = 64):
+                       hit=None, tile: int = 256, maxv: int = 64,
+                       overlap: bool = True):
     """Shadow predicate under geometry sharding: ANY hit (t >= 0, no max-t —
     the reference quirk, simple_raytracer.cpp:321-342) on a triangle of a
     DIFFERENT object, across all shards.  Culled shards route through the
-    Pallas any-hit kernel (self-exclusion object ids ride Gram row 10)."""
+    Pallas any-hit kernel (self-exclusion object ids ride Gram row 10).
+    ``overlap``: half-block double-buffered schedule (see
+    ring_nearest_hit) hiding each rotation behind a half-block walk."""
     n = lax.axis_size(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -247,15 +288,38 @@ def ring_any_hit_other(shard, o, d, self_obj, axis: str = "gp",
     if hit is None:
         hit = jnp.ones(o.shape[:1], jnp.bool_)
 
-    def step(carry, _):
-        o, d, self_obj, hitm, found = carry
-        found = found | local_occ(o, d, self_obj, hitm)
-        carry = lax.ppermute((o, d, self_obj, hitm, found), axis, perm)
-        return carry, None
+    def fold(blk):
+        o, d, self_obj, hitm, found = blk
+        return (o, d, self_obj, hitm,
+                found | local_occ(o, d, self_obj, hitm))
 
-    init = (o, d, self_obj, match_vma(hit, o),
-            match_vma(jnp.zeros(o.shape[:1], jnp.bool_), o))
-    (_, _, _, _, found), _ = lax.scan(step, init, None, length=n)
+    def blk_init(o, d, self_obj, hitm):
+        return (o, d, self_obj, match_vma(hitm, o),
+                match_vma(jnp.zeros(o.shape[:1], jnp.bool_), o))
+
+    if overlap and n > 1:
+        Rh = o.shape[0] // 2
+
+        def step2(carry, _):
+            A, B = carry
+            A2 = lax.ppermute(A, axis, perm)
+            Bf = fold(B)
+            B2 = lax.ppermute(Bf, axis, perm)
+            Af = fold(A2)
+            return (Af, B2), None
+
+        A0 = fold(blk_init(o[:Rh], d[:Rh], self_obj[:Rh], hit[:Rh]))
+        B0 = blk_init(o[Rh:], d[Rh:], self_obj[Rh:], hit[Rh:])
+        (Af, B2), _ = lax.scan(step2, (A0, B0), None, length=n - 1)
+        fA = lax.ppermute(Af, axis, perm)[4]
+        fB = lax.ppermute(fold(B2), axis, perm)[4]
+        return jnp.concatenate([fA, fB], axis=0)
+
+    def step(carry, _):
+        return lax.ppermute(fold(carry), axis, perm), None
+
+    (_, _, _, _, found), _ = lax.scan(
+        step, blk_init(o, d, self_obj, hit), None, length=n)
     return found
 
 

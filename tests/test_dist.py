@@ -161,3 +161,45 @@ def test_render_composed_dp_gp_matches_single():
     img = np.asarray(render_composed(scene, cfg, light, mesh))
     same = (ref == img).all(axis=-1)
     assert same.mean() > 0.995, same.mean()
+
+
+def test_ring_overlap_schedule_bit_equal_to_plain():
+    """The half-block double-buffered ring schedule (overlap=True, the
+    default — ppermute issued before the independent half-block walk so
+    ICI transfers hide behind compute) must be BIT-equal to the plain
+    fold->rotate schedule: same folds at the same shards, only the issue
+    order changes."""
+    scene = _cube_scene()
+    cfg = default_config()
+    from simple_raytracer_tpu.ops.camera import primary_rays
+    o, d = primary_rays(32, 16)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.array([100.0, -100.0, -50.0], jnp.float32)
+
+    n = 8
+    mesh = make_mesh(n, ("gp",))
+    shard = ring_mod.shard_geometry(scene, n)
+
+    def run(overlap):
+        def body(shard, o, d):
+            shard = jax.tree.map(lambda a: a[0], shard)
+            t, rec = ring_mod.ring_nearest_hit(
+                shard, o, d, eps=cfg.mt_eps, overlap=overlap)
+            occ = ring_mod.ring_any_hit_other(
+                shard, o, jnp.broadcast_to(light, o.shape) - o,
+                rec["obj"], eps=cfg.mt_eps, overlap=overlap)
+            return t, rec["obj"], occ
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("gp"), P("gp"), P("gp")),
+            out_specs=(P("gp"), P("gp"), P("gp")),
+            check_vma=False))
+        return f(shard, o, d)
+
+    t_o, obj_o, occ_o = run(True)
+    t_p, obj_p, occ_p = run(False)
+    np.testing.assert_array_equal(np.asarray(t_o), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(obj_o), np.asarray(obj_p))
+    np.testing.assert_array_equal(np.asarray(occ_o), np.asarray(occ_p))
+    assert np.isfinite(np.asarray(t_o)).sum() > 50
