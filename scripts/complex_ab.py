@@ -148,3 +148,11 @@ for v in variants:
         run_full(f"full_{v}", cfg.replace(tile_px=int(v[3:])))
     if v.startswith("maxv"):
         run_full(f"full_{v}", cfg.replace(cull_maxv=int(v[4:])))
+    if v.startswith("wide"):
+        # plan width 4096 + maxv high enough that EVERY tile stays in
+        # list mode (sorted front-to-back + the bound16 early break);
+        # the p90 through-geometry tile walks 2215 windows in RANGE mode
+        # (no break) at the shipping maxv=248/plan_w=1024
+        os.environ["SRT_TILED_PLAN_W_BIG"] = "4096"
+        run_full(f"full_{v}", cfg.replace(cull_maxv=int(v[4:])))
+        os.environ.pop("SRT_TILED_PLAN_W_BIG")

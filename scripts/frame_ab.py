@@ -109,10 +109,12 @@ def rays(V):
     return o.reshape(-1, 3), d.reshape(-1, 3)
 
 
-def run_full(name):
+def run_full(name, c=None):
+    c = c or cfg
+
     def full(V, lp):
-        rad, hit = render_radiance(prep, cfg, lp, view_matrix=V)
-        img = integ.finalize_image(rad, hit, cfg)
+        rad, hit = render_radiance(prep, c, lp, view_matrix=V)
+        img = integ.finalize_image(rad, hit, c)
         return img.astype(jnp.int32).sum().astype(jnp.float32)
     timeit(name, full)
 
@@ -216,6 +218,42 @@ if "fshadow" in variants and getattr(prep, "has_attr", False):
     os.environ["SRT_FUSED_SHADOW"] = "0"
 
 
+if "fstages" in variants and getattr(prep, "has_attr", False):
+    # round-5 fused-pipeline stage decomposition: full fused-shadow frame,
+    # minus-shadow, kernel-only (nearest + fused Phong + bounds row)
+    os.environ["SRT_ATTR_FETCH"] = "1"
+    os.environ["SRT_FUSED_PHONG"] = "1"
+    os.environ["SRT_FUSED_SHADOW"] = "1"
+    run_full("fs_full")
+    import dataclasses as _dc
+    cfg_ns = cfg.replace(light=_dc.replace(cfg.light, enable_shadows=False))
+    def ns(V, lp, c=cfg_ns):
+        rad, hit = render_radiance(prep, c, lp, view_matrix=V)
+        img = integ.finalize_image(rad, hit, c)
+        return img.astype(jnp.int32).sum().astype(jnp.float32)
+    timeit("fs_noshadow", ns)
+
+    def kshaded(V, lp):
+        oo, dd = rays(V)
+        out = tiled_t.hits_shaded(
+            prep, oo, dd, TILE, cfg.mt_eps, lp,
+            jnp.asarray(cfg.light.color, jnp.float32), MAXV,
+            (V, FOCAL, W, H, tpx), want_bounds=True)
+        t, idx, objv, rgb, bounds = out
+        return (jnp.where(jnp.isfinite(t), t, 0.).sum()
+                + jnp.where(jnp.isfinite(t)[:, None], rgb, 0.).sum()
+                + bounds.sum())
+    timeit("fs_kshaded", kshaded)
+
+    def knear(V, lp):
+        oo, dd = rays(V)
+        t, idx = tiled_t.hits(prep, oo, dd, TILE, cfg.mt_eps, MAXV,
+                              apex=True, cam_spec=(V, FOCAL, W, H, tpx))
+        return jnp.where(jnp.isfinite(t), t, 0.).sum() + lp.sum() * 0
+    timeit("fs_knearest", knear)
+    os.environ["SRT_FUSED_SHADOW"] = "0"
+
+
 if "cull_ab" in variants:
     def cull_ab(V, lp):
         oo, dd = rays(V)
@@ -267,3 +305,18 @@ if "wbah" in variants:
         os.environ["SRT_FUSED_PHONG"] = "1"
         run_full(f"full_wbah{wb}")
     tiled_t.WINDOW_BLOCKS_AH = 4
+
+
+for v in variants:
+    # config-override fulls under the production fused pipeline, e.g.
+    # fmaxv128 (cull_maxv), ftpx32 (tile_px)
+    if v.startswith("fmaxv"):
+        os.environ["SRT_ATTR_FETCH"] = "1"
+        os.environ["SRT_FUSED_PHONG"] = "1"
+        os.environ["SRT_FUSED_SHADOW"] = "1"
+        run_full(f"full_{v}", cfg.replace(cull_maxv=int(v[5:])))
+    if v.startswith("ftpx"):
+        os.environ["SRT_ATTR_FETCH"] = "1"
+        os.environ["SRT_FUSED_PHONG"] = "1"
+        os.environ["SRT_FUSED_SHADOW"] = "1"
+        run_full(f"full_{v}", cfg.replace(tile_px=int(v[4:])))

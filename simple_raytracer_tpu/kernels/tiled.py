@@ -1494,10 +1494,22 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
     # fetch) — ray-sized gathers never overlapped; the fetch deletes every
     # one of them (records AND the occlusion pass's tri_obj lookup).
     # SRT_ATTR_FETCH=0 restores the gather path.
+    def _fetch_vmem_ok():
+        # the fetch kernel takes BOTH the resident walk operand and the
+        # attr operand as scoped-VMEM inputs plus ~4.2 KB/lane of tile
+        # buffers; Mosaic's scoped limit is 110 MB (tiled_t._VMEM_LIMIT).
+        # Measured: complex tex at tile 1024 allocates ~102 MB (fits),
+        # tile 4096 ~114.5 MB (OOM) — gate with margin so oversized
+        # tile/scene combinations fall back instead of failing to compile.
+        g = _t._hit_operand(prep)
+        mb = (g.size * g.dtype.itemsize
+              + prep.attr_t.size * prep.attr_t.dtype.itemsize) / 2 ** 20
+        return mb + 4.2 * htile / 1024 <= 106
     fetch_ok = (getattr(prep, "has_attr", False) and impl is _t
                 and not _t._prepass_on() and cfg.cull_maxv > 0
                 and _t._groups_for(htile) == 1
                 and _t._resident(_t._hit_operand(prep))
+                and _fetch_vmem_ok()
                 and _os.environ.get(
                     "SRT_ATTR_FETCH",
                     "1" if cfg.kernel.attr_fetch else "0") not in ("0",))
