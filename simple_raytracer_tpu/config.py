@@ -153,6 +153,17 @@ class KernelConfig:
     # cheaper isolated but degraded the round-3 full-frame schedule
     # 39 -> 145 ms — see DESIGN.md round-3 negatives).  Env: SRT_PX_MODE.
     px_mode: str = "and"
+    # List-mode window cap for DENSE scenes (where _plan_width already
+    # widens the plan to 1024 entries): the shipped cull_maxv=248 left the
+    # p90 through-geometry tile of the complex scene walking 2215 windows
+    # in RANGE mode — which has no front-to-back break.  Filling the plan
+    # capacity keeps those tiles in sorted list mode with the bound16
+    # early exit: round-5 hardware A/B (view-varied, 64-frame) complex
+    # 600x400 full frame 15.86 -> 13.42 ms (plan width 4096 + maxv 2900
+    # read 13.74 — wider plans cost more than the remaining range tiles
+    # save).  Applied by kernels.tiled.effective_cull_maxv when the scene
+    # is past the _plan_width density threshold.  Env: SRT_MAXV_BIG.
+    maxv_big: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1467,6 +1467,28 @@ def get_impl(name: str = None):
     raise ValueError(f"unknown tiled kernel impl {name!r}")
 
 
+def effective_cull_maxv(cfg: RenderConfig, prep) -> int:
+    """List-mode window cap, density-adaptive (KernelConfig.maxv_big).
+
+    DENSE scenes already take the wide 1024-entry plan (_plan_width), but
+    the shipped cull_maxv=248 still dropped their through-geometry tiles
+    to RANGE mode — full covering-range walks with no front-to-back
+    break (complex p90 tile: 2215 windows).  Filling the plan capacity
+    keeps them in sorted list mode with the bound16 early exit: complex
+    600x400 full frame 15.86 -> 13.42 ms (round-5 A/B,
+    scripts/complex_ab.py)."""
+    maxv = cfg.cull_maxv
+    if maxv <= 0:
+        return maxv
+    from . import tiled_t as _t
+    nu = prep.block_min.shape[0] // _t.WINDOW_BLOCKS
+    pw = _plan_width(nu)
+    if pw <= PLAN_W:                       # small scene: default plan
+        return maxv
+    big = int(_os.environ.get("SRT_MAXV_BIG", str(cfg.kernel.maxv_big)))
+    return max(maxv, min(big, pw - PLAN_AUX))
+
+
 def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                       cam_spec=None):
     """Tiled-mode renderer over flat rays -> (radiance [R,3], hit [R]).
@@ -1478,6 +1500,7 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
     tile = tpx * tpx
     impl = get_impl(cfg.tiled_impl)
     htile = _hit_tile(cfg, tile)
+    maxv = effective_cull_maxv(cfg, prep)
     # primary rays: one camera origin per frame -> the apex (projective
     # pixel-space) cull applies.  Callers with mixed-origin rays reach the
     # kernels through impl.hits directly (apex defaults False there).
@@ -1506,7 +1529,7 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
               + prep.attr_t.size * prep.attr_t.dtype.itemsize) / 2 ** 20
         return mb + 4.2 * htile / 1024 <= 106
     fetch_ok = (getattr(prep, "has_attr", False) and impl is _t
-                and not _t._prepass_on() and cfg.cull_maxv > 0
+                and not _t._prepass_on() and maxv > 0
                 and _t._groups_for(htile) == 1
                 and _t._resident(_t._hit_operand(prep))
                 and _fetch_vmem_ok()
@@ -1521,7 +1544,7 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
     fused_ok = (fetch_ok and cspec is not None
                 and cfg.light.num_samples == 1
                 and not cfg.shading.smooth_normals
-                and _t._use_iota(cspec, True, 1, cfg.cull_maxv, htile)
+                and _t._use_iota(cspec, True, 1, maxv, htile)
                 and _os.environ.get(
                     "SRT_FUSED_PHONG",
                     "1" if cfg.kernel.fused_phong else "0") not in ("0",))
@@ -1538,7 +1561,7 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
         # finer shadow tiles and keep the legacy path) and list-mode
         # plans.
         fshadow = (want_sh and _shadow_tile(cfg, tile, prep) == htile
-                   and cfg.cull_maxv > 0
+                   and maxv > 0
                    and prep.block_min.shape[0]
                    // _t.WINDOW_BLOCKS_AH <= 65536
                    and _os.environ.get(
@@ -1547,7 +1570,7 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                    not in ("0",))
         out = _t.hits_shaded(
             prep, origin, direction, htile, cfg.mt_eps, light_pos,
-            jnp.asarray(cfg.light.color, jnp.float32), cfg.cull_maxv,
+            jnp.asarray(cfg.light.color, jnp.float32), maxv,
             cspec, cfg.shading.double_sided_diffuse,
             cfg.shading.specular_nl_factor, want_bounds=fshadow)
         if fshadow:
@@ -1577,14 +1600,14 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                 s = _t.anyhit_from_t(prep, t, objv, bounds, htile,
                                      cfg.mt_eps,
                                      cfg.light.shadow_no_max_t,
-                                     light_pos, cspec, cfg.cull_maxv)
+                                     light_pos, cspec, maxv)
             else:
                 tsafe = jnp.where(hitm, t, 0.0)
                 point = jnp.where(hitm[:, None],
                                   origin + tsafe[:, None] * direction, 0.0)
                 stile = _shadow_tile(cfg, tile, prep)
                 shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps,
-                                            cfg.cull_maxv,
+                                            maxv,
                                             cfg.light.shadow_no_max_t, 1,
                                             impl=impl)
                 s = shadow_fn(point,
@@ -1599,15 +1622,15 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
         # (attr_tex preps are only decodable by the fused tex epilogue —
         # with fused Phong off they take the record-gather path below)
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
-                                          cfg.mt_eps, cfg.cull_maxv,
+                                          cfg.mt_eps, maxv,
                                           apex=True, cam_spec=cspec)
         record = integrator.records_from_attrs(prep.scene, attrs)
     else:
         kw = {"cam_spec": cspec} if impl is _t else {}
         t, tri_idx = impl.hits(prep, origin, direction, htile, cfg.mt_eps,
-                               cfg.cull_maxv, apex=True, **kw)
+                               maxv, apex=True, **kw)
     stile = _shadow_tile(cfg, tile, prep)
-    shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, cfg.cull_maxv,
+    shadow_fn = tiled_shadow_fn(prep, stile, cfg.mt_eps, maxv,
                                 cfg.light.shadow_no_max_t,
                                 cfg.light.num_samples, impl=impl) \
         if cfg.light.enable_shadows else None

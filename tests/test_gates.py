@@ -157,6 +157,8 @@ def test_kernel_config_is_the_source_of_tuning_defaults():
         "assert t._IOTA_FEAT == kc.iota_feat\n"
         "assert kc.attr_fetch is True\n"
         "assert kc.px_mode == 'and'\n"
+        "assert kc.fused_phong is True and kc.fused_shadow is True\n"
+        "assert kc.maxv_big == 1000\n"
         "print('ok')\n"
     )
     env = {k: v for k, v in os.environ.items()
@@ -212,3 +214,22 @@ def test_golden_mask_is_frozen_and_bounded():
         rbg = np.all(ref == np.array([173, 216, 230]), axis=-1)
         assert (mask & rbg).mean() < 0.005, (mask & rbg).mean()
         assert mask[~rbg].mean() < 0.28, mask[~rbg].mean()
+
+
+def test_effective_cull_maxv_density_adaptive():
+    """Dense scenes (wide plans) must fill the plan capacity with list-
+    mode entries (KernelConfig.maxv_big; round-5 complex A/B 15.86 ->
+    13.42 ms) while small scenes keep the shipped cull_maxv."""
+    import types
+    import numpy as np
+    from simple_raytracer_tpu.config import default_config
+    from simple_raytracer_tpu.kernels import tiled, tiled_t
+
+    cfg = default_config()
+    wb = tiled_t.WINDOW_BLOCKS
+    small = types.SimpleNamespace(block_min=np.zeros((wb * 100, 3)))
+    dense = types.SimpleNamespace(block_min=np.zeros((wb * 2782, 3)))
+    assert tiled.effective_cull_maxv(cfg, small) == cfg.cull_maxv
+    assert tiled.effective_cull_maxv(cfg, dense) == cfg.kernel.maxv_big
+    assert tiled.effective_cull_maxv(
+        cfg.replace(cull_maxv=0), dense) == 0
