@@ -980,25 +980,43 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
         det_lane = (lane % RPB) // BS == 0
         rowl = lane % BS
         blkl = lane // RPB
+        # winner-id range of this tile: BVH-preordered ids are spatially
+        # coherent, so the tile's winners cluster in a FEW of the walked
+        # windows — windows disjoint from [wid_lo, wid_hi] contribute an
+        # all-zero one-hot and are skipped wholesale (their [WL, T]
+        # compare + bf16 matmul was most of the fetch cost)
+        hitl = bidv >= 0
+        wid_lo = jnp.min(jnp.where(hitl, bidv, jnp.int32(0x7FFFFFFF)))
+        wid_hi = jnp.max(jnp.where(hitl, bidv, jnp.int32(-1)))
 
         def fcond(st):
             j, acc = st
-            return j < ns
+            # the re-walk stops at the MAIN walk's break step, not the
+            # full list: the front-to-back break certifies no window at
+            # step >= j_end can beat any lane's best_t, so the winner is
+            # always inside the first j_end steps (round 5; the full-list
+            # re-walk cost the bunny ~1.4 ms/frame of dead fetch matmuls)
+            return j < j_end
 
         def fbody(st):
             j, acc = st
             for k in range(KW):
                 jk = j * KW + k
                 s = jnp.clip(start(jk), 0, nbw)
-                tri0 = (s + blkl) * BS + rowl
+
+                def _fetch(a, s=s):
+                    tri0 = (s + blkl) * BS + rowl
+                    oh = (det_lane & (tri0 == bidv)).astype(jnp.bfloat16)
+                    As = At[:, pl.ds(s * RPB, WL)]       # [AR, WL]
+                    return a + jax.lax.dot_general(
+                        As, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
                 # jk < cnt guard: padded steps clamp to a REPEATED window —
                 # idempotent for the min-walk, but the fetch ACCUMULATES
-                oh = (det_lane & (tri0 == bidv) & (jk < cnt)).astype(
-                    jnp.bfloat16)
-                As = At[:, pl.ds(s * RPB, WL)]           # [AR, WL]
-                acc = acc + jax.lax.dot_general(
-                    As, oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                pred = ((jk < cnt) & ((s + WB) * BS > wid_lo)
+                        & (s * BS <= wid_hi))
+                acc = jax.lax.cond(pred, _fetch, lambda a: a, acc)
             return j + 1, acc
 
         _, attrs = jax.lax.while_loop(
@@ -2121,8 +2139,14 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     iota = _use_iota(cam_spec, True, 1, maxv, tile)
     assert iota and prep.has_attr, (iota, prep.has_attr)
     tex = bool(getattr(prep, "attr_tex", False))
+    # SRT_NEAREST_PARTS: cap the nearest walk's emulation grade (3 = tri,
+    # ~2^-17; measurement knob — the complex scene already ships 3-part
+    # nearest by the residency size heuristic and holds its goldens)
+    np_env = _os.environ.get("SRT_NEAREST_PARTS", "")
     G, prec, _Ft, n, R, odp = _operands(prep, _mode(), origin, direction,
-                                        tile, want_ft=False)
+                                        tile, want_ft=False,
+                                        max_parts=int(np_env) if np_env
+                                        else None)
     res = _resident(G)
     assert res, "fused shading needs the VMEM-resident operand"
     sc = prep.scene
