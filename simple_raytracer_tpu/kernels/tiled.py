@@ -1524,6 +1524,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
         # Measured: complex tex at tile 1024 allocates ~102 MB (fits),
         # tile 4096 ~114.5 MB (OOM) — gate with margin so oversized
         # tile/scene combinations fall back instead of failing to compile.
+        if _os.environ.get("SRT_FETCH_VMEM_GATE", "") == "0":
+            return True                      # measurement escape hatch
         g = _t._hit_operand(prep)
         mb = (g.size * g.dtype.itemsize
               + prep.attr_t.size * prep.attr_t.dtype.itemsize) / 2 ** 20
