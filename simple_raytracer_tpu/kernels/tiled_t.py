@@ -1927,6 +1927,14 @@ def cull(prep, origin, direction, tile: int, maxv: int, excl=None, wb=None,
     NB = prep.block_min.shape[0]
     assert NB % wb == 0, (NB, wb)
     pw = _ray_major._plan_width(NB // wb)
+    if maxv > 0:
+        # honor the requested list capacity: cull_blocks_lists clamps
+        # maxv to the plan width, and the ANY-HIT cull (wb=4 halves the
+        # unit count) was dodging _plan_width's density widening — its
+        # dense tiles silently fell back to range walks with no
+        # early-out despite effective_cull_maxv asking for 1000
+        need = PLAN_AUX + maxv + (maxv // 8 + 8 if groups > 1 else 0)
+        pw = max(pw, -(-need // 128) * 128)
     if maxv > 0 and NB // wb <= 65536:
         return _ray_major.cull_blocks_lists(
             origin, direction, tile, prep.block_min, prep.block_max,
