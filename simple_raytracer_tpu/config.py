@@ -110,9 +110,16 @@ class KernelConfig:
     mt_precision: str = "stack"
     # Super-step rows (streaming / VMEM-resident / resident any-hit).
     # 2048 won every round-3 retune point (512: 52.4, 2048: 34.1,
-    # 4096: 34.7 ms nearest @16px).  Env: SRT_TILED_SUPER_ROWS[_RES|_AH].
+    # 4096: 34.7 ms nearest @16px).  Round 5: the RESIDENT nearest walk
+    # retunes to 1024 under the fused pipeline — the bunny's mean ~26
+    # visible windows/tile fit ONE 2048-row super-step, which left the
+    # front-to-back break no step boundary to act on; at 1024 (KW=16)
+    # the second step is skipped when the first confirms the winner
+    # (kernel-only 7.67 -> 6.94, fused full frame 10.88 -> 10.28;
+    # complex unchanged 13.7, 4096 regresses to 8.58 kernel-only).
+    # Env: SRT_TILED_SUPER_ROWS[_RES|_AH].
     super_rows: int = 2048
-    super_rows_res: int = 2048
+    super_rows_res: int = 1024
     super_rows_ah: int = 2048
     # Aligned fetch-window width in cull blocks: nearest keeps WB=2
     # (front-to-back break rewards tight lists), any-hit WB=4 (no break,
