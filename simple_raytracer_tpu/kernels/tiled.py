@@ -1018,11 +1018,15 @@ def _out_struct(shape, dtype, ref):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _chunk_tiles(fn, n, *arrays, plan_w: int = None):
+def _chunk_tiles(fn, n, *arrays, plan_w: int = None, max_tiles: int = None):
     """Run ``fn(chunk_arrays...)`` over tile chunks sized to the SMEM plan
     budget (leading axis n).  Pads with zeros (plan rows of zeros =
-    cnt 0)."""
+    cnt 0).  ``max_tiles``: additional per-chunk cap (the resident fetch
+    kernel's outputs live in scoped VMEM alongside its operands — callers
+    cap the chunk so outputs fit the budget; see tiled_t.tiled_nearest_t)."""
     C = _max_tiles(plan_w or PLAN_W)
+    if max_tiles is not None:
+        C = max(1, min(C, max_tiles))
     if n <= C:
         return fn(*arrays)
     nc = -(-n // C)
@@ -1519,17 +1523,18 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
     # SRT_ATTR_FETCH=0 restores the gather path.
     def _fetch_vmem_ok():
         # the fetch kernel takes BOTH the resident walk operand and the
-        # attr operand as scoped-VMEM inputs plus ~4.2 KB/lane of tile
-        # buffers; Mosaic's scoped limit is 110 MB (tiled_t._VMEM_LIMIT).
-        # Measured: complex tex at tile 1024 allocates ~102 MB (fits),
-        # tile 4096 ~114.5 MB (OOM) — gate with margin so oversized
-        # tile/scene combinations fall back instead of failing to compile.
+        # attr operand as scoped-VMEM inputs; Mosaic's scoped limit is
+        # 110 MB (tiled_t._VMEM_LIMIT).  Output footprint is handled by
+        # per-chunk capping inside tiled_nearest_t (measured: the whole
+        # [chunk, AR, tile] output tuple allocates in VMEM — complex at
+        # tile 4096 hit the wall at 59 tiles/chunk before the cap), so
+        # only scenes whose OPERANDS leave no room at all fall back.
         if _os.environ.get("SRT_FETCH_VMEM_GATE", "") == "0":
             return True                      # measurement escape hatch
         g = _t._hit_operand(prep)
         mb = (g.size * g.dtype.itemsize
               + prep.attr_t.size * prep.attr_t.dtype.itemsize) / 2 ** 20
-        return mb + 4.2 * htile / 1024 <= 106
+        return mb + htile * 36 / 2 ** 20 <= 100
     fetch_ok = (getattr(prep, "has_attr", False) and impl is _t
                 and not _t._prepass_on() and maxv > 0
                 and _t._groups_for(htile) == 1

@@ -1628,10 +1628,23 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
             interpret=_interpret(),
         )(*operands)
 
+    mt = None
+    if fetch and res:
+        # the fetch kernel's outputs sit in scoped VMEM next to the
+        # resident operands (measured: the whole [chunk, AR, tile] output
+        # tuple allocates in VMEM — complex at tile 4096 hit Mosaic's
+        # 110 MB wall at 59 tiles/chunk).  Cap the chunk so
+        # operands + outputs + margin stay under budget.
+        op_mb = (Gt.size * Gt.dtype.itemsize
+                 + At.size * At.dtype.itemsize) / 2 ** 20
+        per_tile_mb = (max(ar_out, 2) + 2) * tile * 4 / 2 ** 20
+        mt = int(max(1.0, (100.0 - op_mb) / max(per_tile_mb, 1e-6)))
     if iota_tpx:
-        outs = _chunk_tiles(call, n, plan, plan_w=plan.shape[1])
+        outs = _chunk_tiles(call, n, plan, plan_w=plan.shape[1],
+                            max_tiles=mt)
     else:
-        outs = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1])
+        outs = _chunk_tiles(call, n, Ft, plan, plan_w=plan.shape[1],
+                            max_tiles=mt)
     if fetch:
         t, idx, attrs = outs
         return (t.reshape(n, tile), idx.reshape(n, tile),
