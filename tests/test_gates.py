@@ -233,3 +233,57 @@ def test_effective_cull_maxv_density_adaptive():
     assert tiled.effective_cull_maxv(cfg, dense) == cfg.kernel.maxv_big
     assert tiled.effective_cull_maxv(
         cfg.replace(cull_maxv=0), dense) == 0
+
+
+def test_shipped_defaults_engage_the_fused_pipeline(monkeypatch):
+    """A fresh process with no SRT_* env must take the benchmarked fast
+    path end-to-end: in-kernel attr fetch + fused Phong (hits_shaded) AND
+    the fused from-t shadow (anyhit_from_t) for an eligible scene.  Guards
+    against a future edit silently dropping the production path while the
+    equality tests (which force the env) stay green."""
+    import numpy as np
+    import jax.numpy as jnp
+    from simple_raytracer_tpu.scene.scene import SceneManager
+    import simple_raytracer_tpu.scene.transforms as T
+    from simple_raytracer_tpu.accel.prepared import prepare
+    from simple_raytracer_tpu.config import CameraConfig
+    import simple_raytracer_tpu.kernels.tiled as tl
+    import simple_raytracer_tpu.kernels.tiled_t as tt
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    for k in list(__import__("os").environ):
+        if k.startswith("SRT_"):
+            monkeypatch.delenv(k, raising=False)
+
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file("/root/reference/cube.obj", key="cube")
+    sm.set_color("cube", (0.2, 0.8, 0.3))
+    sm.transform_triangles(
+        "cube", T.translate((0.0, 5.0, 80.0)) @ T.scale(15.0, 15.0, 15.0))
+    sm.load_obj_file("/root/reference/sphere.obj", key="s")
+    sm.set_color("s", (0.9, 0.9, 0.2))
+    sm.transform_triangles(
+        "s", T.translate((-12.0, -14.0, 60.0)) @ T.scale(6.0, 6.0, 6.0))
+    scene = sm.build()
+    cfg = default_config().replace(
+        mode="tiled",
+        camera=CameraConfig(width=64, height=64, focal=400.0))
+    prep = prepare(scene, cfg)
+    tpx = tl.effective_tile_px(cfg, prep.scene.verts.shape[0])
+    o, d, _, _ = primary_rays_tiled(64, 64, tpx, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+
+    called = []
+    orig_sh = tt.hits_shaded
+    orig_ah = tt.anyhit_from_t
+    monkeypatch.setattr(
+        tt, "hits_shaded",
+        lambda *a, **k: (called.append("shaded"), orig_sh(*a, **k))[1])
+    monkeypatch.setattr(
+        tt, "anyhit_from_t",
+        lambda *a, **k: (called.append("from_t"), orig_ah(*a, **k))[1])
+    rad, hit = tl.render_flat_tiled(
+        prep, cfg, o, d, jnp.asarray([500., -300., -200.]),
+        cam_spec=(None, 400.0, 64, 64, tpx))
+    assert "shaded" in called and "from_t" in called, called
+    assert np.asarray(hit).sum() > 500
