@@ -92,13 +92,17 @@ class PreparedScene:
                               # textured layout (ATTR_ROWS_TEX: normals +
                               # obj + UV affine map + tex id; see
                               # pack_attr_tex_stacked_np)
+    attr_smooth: bool = dataclasses.field(default=False)  # attr_t is the
+                              # smooth-normal layout (ATTR_ROWS_SMOOTH:
+                              # vertex-normal affine map + obj; see
+                              # pack_attr_smooth_stacked_np)
 
     _DYN = ("scene", "node_min", "node_max", "skip", "leaf_first",
             "leaf_count", "block_min", "block_max", "block_obj", "gram_t",
             "gram", "gram_s", "attr_t")
     _STATIC = ("num_nodes", "num_blocks", "num_triangles", "max_leaf",
                "depth", "block_size", "stack_parts", "has_attr",
-               "attr_tex")
+               "attr_tex", "attr_smooth")
 
     @property
     def num_pages(self) -> int:
@@ -351,6 +355,51 @@ def pack_attr_tex_stacked_np(verts_cart, tri_normal, tri_obj, tri_tex, uvs,
     return cols
 
 
+# Smooth-normal attr layout (attr_smooth): the same affine refactor as
+# textures applied to VERTEX NORMALS — the barycentric interpolation of
+# vnormals (ops/shading.py:smooth_normal, simple_raytracer.cpp:132-140) is
+# affine in p over the triangle plane: n_raw(p) = An @ p + cn; the kernel
+# normalizes.  Rows:
+#   0-11   3 limbs x (cnx, cny, cnz, obj)     row l*4 + a  (the constant
+#          term rides the flat-normal slots so the epilogue decode and the
+#          bounds/self-object rows are layout-identical to the flat case)
+#   12-38  3 limbs x (An 9 row-major values)  row 12 + l*9 + a
+#   39     zero pad
+ATTR_ROWS_SMOOTH = 40
+
+
+def pack_attr_smooth_stacked_np(verts_cart, vnormals, tri_obj,
+                                block_size: int,
+                                pad_blocks: int = GRAM_T_PAD_BLOCKS):
+    """HOST packer for the SMOOTH-NORMAL kernel shade-attribute operand
+    (layout above; limb/lane scheme of pack_attr_stacked_np)."""
+    import numpy as np
+    A, c = uv_affine_np(verts_cart, vnormals)            # [T,3,3], [T,3]
+    o = np.asarray(tri_obj, np.float32)[:, None]
+    T = o.shape[0]
+    assert T % block_size == 0, (T, block_size)
+    NB = T // block_size
+    lanes = (NB + pad_blocks) * 4 * block_size
+    base = np.concatenate([c, o], axis=1)                # [T, 4]
+    arows = A.reshape(T, 9)
+    h4, m4, l4 = split3_np(base)
+    h9, m9, l9 = split3_np(arows)
+    cols = np.zeros((ATTR_ROWS_SMOOTH, lanes), h4.dtype)
+
+    def put(row, col_tri):
+        pv = col_tri.reshape(NB, 1, block_size)
+        cols[row, :NB * 4 * block_size] = np.pad(
+            pv, ((0, 0), (0, 3), (0, 0))).reshape(-1)
+
+    for li, part in enumerate((h4, m4, l4)):
+        for a in range(4):
+            put(li * 4 + a, part[:, a])
+    for li, part in enumerate((h9, m9, l9)):
+        for a in range(9):
+            put(12 + li * 9 + a, part[:, a])
+    return cols
+
+
 def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
     """Build per-object BVHs (reference topology), chain them into one global
     stackless array, reorder+pad the scene, and compute triangle blocks."""
@@ -483,18 +532,26 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         parts = 3 if (32 * lanes * 2 <= lim < 64 * lanes * 2) else 6
     gram_s = pack_blocks_stacked_np(vc, bs, parts)
 
-    # shade-attribute operand: flat-shaded configs only (smooth normals
-    # would need 9 more interpolation columns and keep the XLA record
-    # gather).  Textured scenes get the fatter attr_tex layout carrying
-    # the per-triangle UV affine map + tex id (pack_attr_tex_stacked_np);
-    # untextured scenes keep the lean 16-row layout.
-    has_attr = not bool(cfg.shading.smooth_normals)
-    attr_tex = bool(padded.has_textures) and has_attr
+    # shade-attribute operand, one of three layouts: lean 16-row flat
+    # normals (the common case), attr_tex (UV affine map + tex id,
+    # pack_attr_tex_stacked_np), or attr_smooth (vertex-normal affine
+    # map, pack_attr_smooth_stacked_np).  smooth+textured together would
+    # need both limb groups (AR 64) — rare enough (no reference scene
+    # combines them) that it keeps the XLA record gather.
+    smooth = bool(cfg.shading.smooth_normals)
+    textured = bool(padded.has_textures)
+    attr_tex = textured and not smooth
+    attr_smooth = smooth and not textured
+    has_attr = attr_tex or attr_smooth or (not smooth and not textured)
     if attr_tex:
         attr_t = pack_attr_tex_stacked_np(
             padded.verts_cart(), np.asarray(padded.tri_normal),
             np.asarray(padded.tri_obj), np.asarray(padded.tri_tex),
             np.asarray(padded.uvs), bs)
+    elif attr_smooth:
+        attr_t = pack_attr_smooth_stacked_np(
+            padded.verts_cart(), np.asarray(padded.vnormals),
+            np.asarray(padded.tri_obj), bs)
     elif has_attr:
         attr_t = pack_attr_stacked_np(np.asarray(padded.tri_normal),
                                       np.asarray(padded.tri_obj), bs)
@@ -524,5 +581,6 @@ def prepare(scene: Scene, cfg: RenderConfig) -> PreparedScene:
         block_size=int(bs),
         stack_parts=int(parts),
         attr_tex=attr_tex,
+        attr_smooth=attr_smooth,
     )
     return jax.device_put(ps)

@@ -1550,7 +1550,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
     # dim + tonemap.  Requires the attr-fetch + iota preconditions.
     fused_ok = (fetch_ok and cspec is not None
                 and cfg.light.num_samples == 1
-                and not cfg.shading.smooth_normals
+                and (not cfg.shading.smooth_normals
+                     or getattr(prep, "attr_smooth", False))
                 and _t._use_iota(cspec, True, 1, maxv, htile)
                 and _os.environ.get(
                     "SRT_FUSED_PHONG",
@@ -1625,9 +1626,10 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
             rgb = _sh.tonemap(rgb, cfg.shading.reinhard_offset,
                               cfg.shading.gamma)
         return rgb, hitm
-    if fetch_ok and not getattr(prep, "attr_tex", False):
-        # (attr_tex preps are only decodable by the fused tex epilogue —
-        # with fused Phong off they take the record-gather path below)
+    if fetch_ok and not getattr(prep, "attr_tex", False) \
+            and not getattr(prep, "attr_smooth", False):
+        # (attr_tex/attr_smooth preps are only decodable by the fused
+        # epilogue — with fused Phong off they take the gather path below)
         t, tri_idx, attrs = _t.hits_attrs(prep, origin, direction, htile,
                                           cfg.mt_eps, maxv,
                                           apex=True, cam_spec=cspec)

@@ -662,7 +662,7 @@ def _build_feats_from_t(cam, tob, px0, py0, tpx: int, prec: str, parts: int,
 
 def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
                  double_sided: bool, specular_nl: bool,
-                 tex_mode: bool = False):
+                 attr_mode: int = 0):
     """In-kernel Phong epilogue on [1, T] rows (fused shading for
     flat common-apex scenes; ops/shading.py:phong is the
     oracle, simple_raytracer.cpp:144-200 the reference).
@@ -677,13 +677,19 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
     produce garbage rows that the caller masks — t is pinned to 0 first
     so no inf*0 NaN can leak into a debug_nans run.
 
-    ``tex_mode`` (textured scenes, accel/prepared.py:ATTR_ROWS_TEX
+    ``attr_mode`` 1 (textured scenes, accel/prepared.py:ATTR_ROWS_TEX
     layout): the base color is a texture the kernel cannot gather, so
     instead of RGB the epilogue emits the color-independent Phong factors
     + the affine-map texel coords evaluated at the hit point:
     [6, T] = (dw = |n.l| + ambient, sw = specular weight, texu, texv,
     obj id, tex id); the XLA finish combines them with the texel gather
-    (render_flat_tiled)."""
+    (render_flat_tiled).
+
+    ``attr_mode`` 2 (smooth normals, ATTR_ROWS_SMOOTH layout): rows 0-11
+    decode to (cn, obj) and rows 12-38 to the vertex-normal affine map
+    An; the normal is normalize(An @ p + cn) — the Ericson interpolation
+    of smooth_normal refactored into constants — and the output is the
+    plain [4, T] RGB + obj."""
     from ..accel.prepared import ATTR_N
     dx, dy, dz, ox, oy, oz = od_rows
     # exact limb decode (ordered magnitudes; see pack_attr_stacked_np)
@@ -694,6 +700,17 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
+    if attr_mode == 2:
+        # smooth normals: (nx, ny, nz) decoded above are the affine map's
+        # CONSTANT term; add An @ p (rows 12-38) and normalize
+        an = [acc[12 + a:13 + a] + acc[21 + a:22 + a] + acc[30 + a:31 + a]
+              for a in range(9)]
+        nx = nx + an[0] * px + an[1] * py + an[2] * pz
+        ny = ny + an[3] * px + an[4] * py + an[5] * pz
+        nz = nz + an[6] * px + an[7] * py + an[8] * pz
+        ni = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                       1e-30))
+        nx, ny, nz = nx * ni, ny * ni, nz * ni
     lx = cam[13:14] - px
     ly = cam[14:15] - py
     lz = cam[15:16] - pz
@@ -717,7 +734,7 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
     for k in range(n_obj):
         r0 = CAM_ROWS + 8 * k
         m = objf == jnp.float32(k)
-        if not tex_mode:
+        if attr_mode != 1:
             pc = [jnp.where(m, cam[r0 + c:r0 + c + 1], pc[c])
                   for c in range(3)]
             sc = [jnp.where(m, cam[r0 + 3 + c:r0 + 4 + c], sc[c])
@@ -735,7 +752,7 @@ def _fused_phong(cam, od_rows, bt, bidv, acc, n_obj: int,
                    jnp.exp(shin * jnp.log(jnp.maximum(rv, 1e-30))), 0.0)
     nl_f = nla if specular_nl else jnp.float32(1.0)
     spec_w = nl_f * pw
-    if tex_mode:
+    if attr_mode == 1:
         # 3-limb UV affine decode + evaluation at the hit point
         # (pack_attr_tex_stacked_np rows 12-36)
         uv = [acc[12 + a:13 + a] + acc[20 + a:21 + a] + acc[28 + a:29 + a]
@@ -1023,9 +1040,9 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             fcond, fbody, (jnp.int32(0),
                            jnp.zeros((AR, TILE_R), jnp.float32)))
         if fused is not None:
-            n_obj, dbl, snl, want_bounds, tex_mode = fused
+            n_obj, dbl, snl, want_bounds, attr_mode = fused
             out, prow = _fused_phong(cam, od_rows, bt, bidv, attrs,
-                                     n_obj, dbl, snl, tex_mode)
+                                     n_obj, dbl, snl, attr_mode)
             if want_bounds:
                 # per-tile hit-point bounds row (the fused-shadow path's
                 # O(tiles) cull input — see analytic_shadow_bounds): lanes
@@ -1037,7 +1054,7 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                 px_r, py_r, pz_r = prow
                 hm = jnp.isfinite(bt)
                 INF = jnp.float32(jnp.inf)
-                objf = out[4:5] if tex_mode else out[3:4]
+                objf = out[4:5] if attr_mode == 1 else out[3:4]
 
                 def mmin(x):
                     return jnp.min(jnp.where(hm, x, INF))
@@ -1562,7 +1579,7 @@ def tiled_nearest_t(Ft, plan, Gt, tile: int, block: int, wb: int, eps: float,
     assert not od_parts or groups == 1, (od_parts, groups)
     assert not iota_tpx or (cam is not None and groups == 1)
     assert fused is None or (fetch and iota_tpx), (fused, fetch, iota_tpx)
-    ar_out = (((6 if fused[4] else 4) + (1 if fused[3] else 0))
+    ar_out = (((6 if fused[4] == 1 else 4) + (1 if fused[3] else 0))
               if fused is not None else (At.shape[0] if fetch else 0))
     KF = None if iota_tpx else Ft.shape[1]   # contraction rows (16 f32 /
     #                             stacked bf16 / 8 o/d rows when od_parts)
@@ -2160,6 +2177,8 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     iota = _use_iota(cam_spec, True, 1, maxv, tile)
     assert iota and prep.has_attr, (iota, prep.has_attr)
     tex = bool(getattr(prep, "attr_tex", False))
+    amode = 1 if tex else (
+        2 if getattr(prep, "attr_smooth", False) else 0)
     # SRT_NEAREST_PARTS: cap the nearest walk's emulation grade (3 = tri,
     # ~2^-17; measurement knob — the complex scene already ships 3-part
     # nearest by the residency size heuristic and holds its goldens)
@@ -2185,7 +2204,7 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
         None, plan, G, tile, prep.block_size, WINDOW_BLOCKS, eps,
         prec=prec, res=res, At=prep.attr_t, od_parts=odp, cam=cam,
         iota_tpx=tpx, fused=(n_obj, bool(double_sided), bool(specular_nl),
-                             bool(want_bounds), tex))
+                             bool(want_bounds), amode))
     nr = 6 if tex else 4
     bounds = out[:, nr, :9] if want_bounds else None     # [n, 9] tile rows
     out = out[:, :nr].transpose(0, 2, 1).reshape(-1, nr)

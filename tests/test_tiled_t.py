@@ -460,3 +460,58 @@ def test_fused_tex_matches_gather_path(monkeypatch):
     close = np.abs(rf - rl).max(axis=1) < 1e-3
     assert close.mean() > 0.999, close.mean()     # texel truncation flips
     np.testing.assert_allclose(rf[close], rl[close], rtol=2e-4, atol=2e-6)
+
+
+def test_fused_smooth_matches_gather_path(monkeypatch):
+    """Smooth-normal scenes on the fused path (vertex-normal affine-map
+    attr transport, normalize(An @ p + cn) in-kernel) must reproduce the
+    legacy record-gather smooth shading near-exactly, and must visibly
+    differ from flat shading on curved geometry."""
+    import dataclasses
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("sphere.obj"), key="s")
+    sm.set_color("s", (0.8, 0.4, 0.3))
+    sm.transform_triangles(
+        "s", T.translate((0.0, 0.0, 60.0)) @ T.scale(12.0, 12.0, 12.0))
+    sm.load_obj_file(reference_asset("cube.obj"), key="ground")
+    sm.set_color("ground", (0.2, 0.8, 0.3))
+    sm.transform_triangles(
+        "ground", T.translate((0.0, 16.0, 60.0)) @ T.scale(25.0, 2.0, 25.0))
+    scene = sm.build()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    cfg = cfg.replace(shading=dataclasses.replace(
+        cfg.shading, smooth_normals=True))
+    prep = prepare(scene, cfg)
+    assert prep.attr_smooth and prep.has_attr and not prep.attr_tex
+    tpx = tl.effective_tile_px(cfg, prep.scene.verts.shape[0])
+    o, d, _, _ = primary_rays_tiled(128, 128, tpx, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (None, 400.0, 128, 128, tpx)
+    monkeypatch.setenv("SRT_FUSED_PHONG", "1")
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    monkeypatch.setenv("SRT_FUSED_PHONG", "0")
+    rad_l, hit_l = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_l) == m).all()
+    assert m.sum() > 5000
+    np.testing.assert_allclose(np.asarray(rad_f)[m], np.asarray(rad_l)[m],
+                               rtol=2e-4, atol=2e-6)
+    # the smooth path must actually smooth: compare against flat shading
+    monkeypatch.setenv("SRT_FUSED_PHONG", "1")
+    cfg_flat = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0))
+    prep_flat = prepare(scene, cfg_flat)
+    rad_3, _ = tl.render_flat_tiled(prep_flat, cfg_flat, o, d, light,
+                                    cam_spec=cspec)
+    frac = (np.abs(np.asarray(rad_3)[m] - np.asarray(rad_f)[m]).max(axis=1)
+            > 1e-3).mean()
+    assert frac > 0.5, frac
