@@ -156,3 +156,39 @@ for v in variants:
         os.environ["SRT_TILED_PLAN_W_BIG"] = "4096"
         run_full(f"full_{v}", cfg.replace(cull_maxv=int(v[4:])))
         os.environ.pop("SRT_TILED_PLAN_W_BIG")
+
+if "sstages" in variants:
+    # shadow-stage decomposition: points fixed (one nearest pass up
+    # front), LIGHT varied per iteration (the whole stage depends on it,
+    # so nothing hoists).  socull = the legacy shadow cull+plan build
+    # from points; soccl = cull + any-hit kernel.
+    from simple_raytracer_tpu.kernels import tiled as tk
+    oo, dd = rays(V0)
+    t0_, idx0_ = tiled_t.hits(prep, oo, dd, TILE, cfg.mt_eps, MAXV,
+                              apex=True, cam_spec=(V0, FOCAL, W, H, tpx))
+    hm = jnp.isfinite(t0_)
+    ts = jnp.where(hm, t0_, 0.0)
+    point = jnp.where(hm[:, None], oo + ts[:, None] * dd, 0.0)
+    objv = prep.scene.tri_obj[jnp.maximum(idx0_, 0)]
+    stile = tk._shadow_tile(cfg, TILE, prep)
+    maxv_eff = tk.effective_cull_maxv(cfg, prep)
+    print(f"# sstages: stile={stile} maxv={maxv_eff} "
+          f"hits={int(hm.sum())}", flush=True)
+
+    def socull(V, lp):
+        lpb = jnp.broadcast_to(lp, point.shape)
+        plan = tiled_t.cull_occl(prep, point, lpb - point, stile,
+                                 maxv_eff, None, apex_rev=True)
+        return plan.astype(jnp.float32).sum()
+    try:
+        timeit("socull", socull)
+    except Exception as e:
+        print(f"# socull failed: {e!r}", flush=True)
+
+    def soccl(V, lp):
+        sh = tk.tiled_shadow_fn(prep, stile, cfg.mt_eps, maxv_eff,
+                                cfg.light.shadow_no_max_t, 1,
+                                impl=tiled_t)
+        s = sh(point, jnp.broadcast_to(lp, point.shape), objv, hit=hm)
+        return s.sum().astype(jnp.float32)
+    timeit("soccl", soccl)

@@ -1560,15 +1560,30 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
         from ..ops import shading as _sh
         want_sh = (cfg.light.enable_shadows
                    and prep.scene.obj_color.shape[0] > 1)
-        # FUSED shadow (round 5): the nearest kernel emits per-tile
+        # FUSED shadow (round 5): the nearest kernel emits per-SUBTILE
         # hit-point bounds, the shadow plan is O(tiles)
         # (analytic_shadow_bounds), and the any-hit kernel rebuilds its
         # rays in VMEM from the t row — between the two kernels no
-        # ray-sized XLA op remains in the frame at all.  Needs the
-        # shadow pass at the PRIMARY tile (dense scenes re-chunk to
-        # finer shadow tiles and keep the legacy path) and list-mode
-        # plans.
-        fshadow = (want_sh and _shadow_tile(cfg, tile, prep) == htile
+        # ray-sized XLA op remains in the frame at all.  Dense scenes'
+        # finer shadow tiles (config.shadow_tile) are served by subtile
+        # bounds groups (sub = htile // stile); the legacy path remains
+        # for non-dividing or non-row-aligned configurations.
+        stile_f = _shadow_tile(cfg, tile, prep)
+        sub_f = htile // stile_f if stile_f else 1
+        # subtile mode (sub_f > 1, dense scenes) measured SLOWER than the
+        # legacy path on the complex scene (16.55 vs 13.84 ms): the
+        # per-subtile hit-point BOX bounds are looser than the legacy
+        # per-ray projective reductions when a subtile spans a depth
+        # discontinuity, and the fatter shadow lists cost more than the
+        # 2.3 ms of O(R) cull glue they save.  Default: whole-tile only;
+        # SRT_FUSED_SHADOW_SUB=1 opts the subtile mode back in.
+        if sub_f > 1 and _os.environ.get(
+                "SRT_FUSED_SHADOW_SUB", "") not in ("1",):
+            sub_f = 0
+        fshadow = (want_sh and stile_f > 0 and sub_f >= 1
+                   and htile % stile_f == 0
+                   and stile_f % tpx == 0
+                   and sub_f * 16 <= stile_f
                    and maxv > 0
                    and prep.block_min.shape[0]
                    // _t.WINDOW_BLOCKS_AH <= 65536
@@ -1580,7 +1595,8 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
             prep, origin, direction, htile, cfg.mt_eps, light_pos,
             jnp.asarray(cfg.light.color, jnp.float32), maxv,
             cspec, cfg.shading.double_sided_diffuse,
-            cfg.shading.specular_nl_factor, want_bounds=fshadow)
+            cfg.shading.specular_nl_factor,
+            want_bounds=sub_f if fshadow else 0)
         if fshadow:
             t, tri_idx, objv, rgb, bounds = out
         else:
@@ -1605,10 +1621,11 @@ def render_flat_tiled(prep, cfg: RenderConfig, origin, direction, light_pos,
                    + lc * ms["specular"][:, None] * comp[:, 1:2])
         if want_sh:
             if fshadow:
-                s = _t.anyhit_from_t(prep, t, objv, bounds, htile,
+                s = _t.anyhit_from_t(prep, t, objv, bounds, stile_f,
                                      cfg.mt_eps,
                                      cfg.light.shadow_no_max_t,
-                                     light_pos, cspec, maxv)
+                                     light_pos, cspec, maxv,
+                                     sub=sub_f)
             else:
                 tsafe = jnp.where(hitm, t, 0.0)
                 point = jnp.where(hitm[:, None],

@@ -1044,32 +1044,41 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             out, prow = _fused_phong(cam, od_rows, bt, bidv, attrs,
                                      n_obj, dbl, snl, attr_mode)
             if want_bounds:
-                # per-tile hit-point bounds row (the fused-shadow path's
-                # O(tiles) cull input — see analytic_shadow_bounds): lanes
-                # 0-5 = hit-point box, 6 = any-hit, 7-8 = winner-object
-                # min/max (purity -> plan-time self-object exclusion).
-                # Cross-lane reductions over HIT lanes only; ~10 VPU ops
-                # per tile replace every ray-sized XLA reduction the
-                # legacy shadow cull paid.
+                # per-SUBTILE hit-point bounds row (the fused-shadow
+                # path's O(tiles) cull input — see analytic_shadow_bounds
+                # / anyhit_from_t): for each of the G = tile // stile
+                # contiguous lane groups (a group = stile rays = whole
+                # pixel rows of the tile), lanes g*16+k carry k in 0-5 =
+                # hit-point box, 6 = any-hit, 7-8 = winner-object min/max
+                # (purity -> plan-time self-object exclusion).  Masked
+                # cross-lane reductions over HIT lanes of the group; a
+                # few dozen VPU ops per tile replace every ray-sized XLA
+                # reduction the legacy shadow cull paid (measured 2.3
+                # ms/frame of O(R) cull glue on the complex scene).
                 px_r, py_r, pz_r = prow
                 hm = jnp.isfinite(bt)
                 INF = jnp.float32(jnp.inf)
                 objf = out[4:5] if attr_mode == 1 else out[3:4]
+                T_R = out.shape[1]
+                G = want_bounds if isinstance(want_bounds, int) else 1
+                G = max(G, 1)
+                stile_b = T_R // G
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, T_R), 1)
+                brow = jnp.zeros((1, T_R), jnp.float32)
+                for g in range(G):
+                    gm = hm & (lane // stile_b == g)
 
-                def mmin(x):
-                    return jnp.min(jnp.where(hm, x, INF))
+                    def mmin(x, gm=gm):
+                        return jnp.min(jnp.where(gm, x, INF))
 
-                def mmax(x):
-                    return jnp.max(jnp.where(hm, x, -INF))
-                vals = [mmin(px_r), mmin(py_r), mmin(pz_r),
-                        mmax(px_r), mmax(py_r), mmax(pz_r),
-                        jnp.max(jnp.where(hm, 1.0, 0.0)),
-                        mmin(objf), mmax(objf)]
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, out.shape[1]), 1)
-                brow = jnp.zeros((1, out.shape[1]), jnp.float32)
-                for k, vv in enumerate(vals):
-                    brow = jnp.where(lane == k, vv, brow)
+                    def mmax(x, gm=gm):
+                        return jnp.max(jnp.where(gm, x, -INF))
+                    vals = [mmin(px_r), mmin(py_r), mmin(pz_r),
+                            mmax(px_r), mmax(py_r), mmax(pz_r),
+                            jnp.max(jnp.where(gm, 1.0, 0.0)),
+                            mmin(objf), mmax(objf)]
+                    for k, vv in enumerate(vals):
+                        brow = jnp.where(lane == g * 16 + k, vv, brow)
                 out = jnp.concatenate([out, brow], axis=0)
             attr_ref[0] = out
         else:
@@ -1861,7 +1870,8 @@ def tiled_anyhit_from_t(tob, plan, Gt, bobj, cam, tile: int, block: int,
 
 
 def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
-                  no_max_t: bool, light_pos, cam_spec, maxv: int):
+                  no_max_t: bool, light_pos, cam_spec, maxv: int,
+                  sub: int = 1):
     """Fused-path hard-shadow query: NO ray-sized XLA work.
 
     The nearest kernel emitted per-tile hit-point bounds (hits_shaded
@@ -1871,11 +1881,18 @@ def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
     row + iota cam rows.  Semantics are the reference's
     (simple_raytracer.cpp:321-342): origin = hit point, direction =
     light - point (unnormalized), no max-t, self-object skip.  Returns
-    found [R] bool (miss lanes read 1 — callers mask by the hit mask)."""
+    found [R] bool (miss lanes read 1 — callers mask by the hit mask).
+
+    ``sub`` > 1: the primary tile was split into ``sub`` contiguous
+    SUBTILES of ``tile`` rays each (dense scenes tune shadow walks to
+    finer tiles — config.shadow_tile); ``bounds`` has one row per
+    subtile and the rebuilt pixel origins advance tile_px//... rows per
+    subtile.  ``tile`` is the SHADOW (subtile) size."""
     vmx, focal, wd, hd, tpx = cam_spec
-    n = bounds.shape[0]
+    n = bounds.shape[0]                 # subtile count = n_tiles * sub
     R = t.shape[0]
     assert R == n * tile, (R, n, tile)
+    assert tile % tpx == 0, (tile, tpx)
     pmin, pmax = bounds[:, 0:3], bounds[:, 3:6]
     ah = bounds[:, 6] > 0.0
     obj_lo, obj_hi = bounds[:, 7], bounds[:, 8]
@@ -1889,9 +1906,15 @@ def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
                 wb=WINDOW_BLOCKS_AH, apex_rev=True, ab=ab)
     plan = jnp.where(ah[:, None], plan, 0)      # skip hitless tiles
     tiles_x = -(-wd // tpx)
-    cam, txy = make_cam(vmx, focal, wd, hd, tpx, n, tiles_x, tile,
-                        light_pos=light_pos)
-    plan = plan.at[:, 4].set(txy[:, 0]).at[:, 5].set(txy[:, 1])
+    cam, _txy = make_cam(vmx, focal, wd, hd, tpx, 1, tiles_x, tile,
+                         light_pos=light_pos)
+    # per-SUBTILE pixel origins: subtile j = tile ti // sub, group g
+    sj = jnp.arange(n, dtype=jnp.int32)
+    ti = sj // sub
+    g = sj % sub
+    px0 = (ti % tiles_x) * tpx - (wd // 2)
+    py0 = (ti // tiles_x) * tpx + g * (tile // tpx) - (hd // 2)
+    plan = plan.at[:, 4].set(px0).at[:, 5].set(py0)
     G, prec, _Ft, _n, _R, odp = _operands(prep, _mode(), t, None, tile,
                                           max_parts=3, want_ft=False)
     res = _resident(G)
@@ -2204,9 +2227,14 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
         None, plan, G, tile, prep.block_size, WINDOW_BLOCKS, eps,
         prec=prec, res=res, At=prep.attr_t, od_parts=odp, cam=cam,
         iota_tpx=tpx, fused=(n_obj, bool(double_sided), bool(specular_nl),
-                             bool(want_bounds), amode))
+                             int(want_bounds), amode))
     nr = 6 if tex else 4
-    bounds = out[:, nr, :9] if want_bounds else None     # [n, 9] tile rows
+    bounds = None
+    if want_bounds:
+        G = int(want_bounds)
+        braw = out[:, nr]                                # [n, T] bounds row
+        bounds = jnp.stack([braw[:, g * 16:g * 16 + 9]
+                            for g in range(G)], 1).reshape(-1, 9)
     out = out[:, :nr].transpose(0, 2, 1).reshape(-1, nr)
     if tex:
         comp = out[:R]

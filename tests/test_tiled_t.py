@@ -515,3 +515,46 @@ def test_fused_smooth_matches_gather_path(monkeypatch):
     frac = (np.abs(np.asarray(rad_3)[m] - np.asarray(rad_f)[m]).max(axis=1)
             > 1e-3).mean()
     assert frac > 0.5, frac
+
+
+def test_fused_shadow_subtile_matches_legacy(monkeypatch):
+    """Dense-scene configs tune shadow walks to finer tiles
+    (config.shadow_tile); the fused from-t path serves them with
+    per-SUBTILE bounds groups (hits_shaded want_bounds=G) and must stay
+    bit-equal to the legacy shadow path."""
+    import simple_raytracer_tpu.kernels.tiled as tl
+    from simple_raytracer_tpu.ops.camera import primary_rays_tiled
+
+    scene = _shadow_scene()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=128, height=128,
+                                          focal=400.0),
+        shadow_tile=256)
+    prep = prepare(scene, cfg)
+    tpx = tl.effective_tile_px(cfg, prep.scene.verts.shape[0])
+    htile = tpx * tpx
+    assert tl._shadow_tile(cfg, htile, prep) == 256 and htile == 4096
+    o, d, _, _ = primary_rays_tiled(128, 128, tpx, 400.0, False)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    light = jnp.asarray([500., -300., -200.])
+    cspec = (None, 400.0, 128, 128, tpx)
+    called = []
+    orig = tiled_t.anyhit_from_t
+    monkeypatch.setattr(
+        tiled_t, "anyhit_from_t",
+        lambda *a, **k: (called.append(k.get("sub")), orig(*a, **k))[1])
+    monkeypatch.setenv("SRT_FUSED_SHADOW", "1")
+    # subtile mode is opt-in (measured slower on the complex scene —
+    # box bounds looser than per-ray reductions across depth edges)
+    monkeypatch.setenv("SRT_FUSED_SHADOW_SUB", "1")
+    rad_f, hit_f = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    monkeypatch.setenv("SRT_FUSED_SHADOW", "0")
+    rad_l, hit_l = tl.render_flat_tiled(prep, cfg, o, d, light,
+                                        cam_spec=cspec)
+    assert called == [16], called          # 4096-ray tile / 256 subtiles
+    m = np.asarray(hit_f)
+    assert (np.asarray(hit_l) == m).all()
+    assert m.sum() > 5000
+    np.testing.assert_array_equal(np.asarray(rad_f)[m],
+                                  np.asarray(rad_l)[m])
