@@ -435,7 +435,7 @@ CAM_ROWS = 16
 
 def make_cam(view_matrix, focal: float, width: int, height: int,
              tile_px: int, n_tiles: int, tiles_x: int, tile_r: int,
-             shade=None, light_pos=None):
+             shade=None, light_pos=None, frame=None):
     """Build the iota-feature operands: (cam [ROWS, tile_r] f32 constant
     rows, tile_xy [n_tiles, 2] i32 pixel origins).
 
@@ -478,6 +478,16 @@ def make_cam(view_matrix, focal: float, width: int, height: int,
             parts.append(osp[k] * lc)                   # sc [3]
             parts.append(oa[k][None])                   # amb [1]
             parts.append(osh[k][None])                  # shin [1]
+        if frame is not None:
+            # 9 rows at CAM_ROWS + 8*O: the SHARED projective frame
+            # (s, v, w) for the fused-shadow EXACT per-group bounds —
+            # the epilogue projects each lane's shadow direction in this
+            # frame and group-reduces exact (ru, rv, dw) extremes
+            # (legacy-tight plans at O(tiles) cost)
+            fs, fv, fw = frame
+            parts.extend([jnp.asarray(fs, jnp.float32),
+                          jnp.asarray(fv, jnp.float32),
+                          jnp.asarray(fw, jnp.float32)])
     rows = jnp.concatenate(parts)
     nrows = -(-rows.shape[0] // 8) * 8
     if nrows > rows.shape[0]:
@@ -543,6 +553,48 @@ def analytic_tile_bounds(cam_spec, n: int):
         "rv_hi": jnp.where(bad, BIG, rv).max(axis=1),
         "tile_bad": tile_bad,
         "dw_hi": jnp.where(bad, 0.0, dw).max(axis=1),
+    }
+
+
+def shadow_frame(prep, light):
+    """The SHARED projective frame for the fused-shadow exact bounds:
+    any frame is valid (tiled._px_frame contract — the cull only compares
+    projections of rays and blocks in ONE frame); seed it with the
+    light -> scene-center direction so d.w is sign-definite for almost
+    every hit group.  Must be computed ONCE and fed to BOTH the nearest
+    kernel (make_cam frame rows) and the plan build
+    (analytic_shadow_bounds_exact)."""
+    ctr = 0.5 * (jnp.min(prep.block_min, axis=0)
+                 + jnp.max(prep.block_max, axis=0))
+    return _ray_major._px_frame((ctr - jnp.asarray(light, jnp.float32)
+                                 )[None, :])
+
+
+def analytic_shadow_bounds_exact(bounds, light, frame):
+    """O(tiles) cull keys from the kernel's EXACT per-group reductions
+    (bounds [n, 15]: box 6, any-hit, obj lo/hi, ru lo/hi, rv lo/hi,
+    dw lo/hi — see _nearest_kernel_t want_bounds).  The projective keys
+    are the true per-ray extremes (legacy-tight); groups whose dw is not
+    sign-definite (or hitless) fall back to an unbounded rect."""
+    BIG = jnp.float32(3.0e38)
+    eps = jnp.float32(1e-12)
+    light = jnp.asarray(light, jnp.float32)
+    s, v, w = frame
+    ah = bounds[:, 6] > 0.0
+    ahc = ah[:, None]
+    pmin = jnp.where(ahc, bounds[:, 0:3], 0.0)
+    pmax = jnp.where(ahc, bounds[:, 3:6], 0.0)
+    ok = ah & ((bounds[:, 13] > eps) | (bounds[:, 14] < -eps))
+    okc = ok[:, None]
+    ruv = jnp.where(okc, bounds[:, 9:13],
+                    jnp.stack([-BIG, BIG, -BIG, BIG])[None])
+    return {
+        "rev": True,
+        "omin": pmin, "omax": pmax,
+        "dmin": light - pmax, "dmax": light - pmin,
+        "s": s, "v": v, "w": w, "apex": light,
+        "ru_lo": ruv[:, 0], "ru_hi": ruv[:, 1],
+        "rv_lo": ruv[:, 2], "rv_hi": ruv[:, 3],
     }
 
 
@@ -1064,6 +1116,30 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                 G = max(G, 1)
                 stile_b = T_R // G
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, T_R), 1)
+                # EXACT per-lane projective shadow keys in the shared
+                # frame (cam rows CAM_ROWS + 8*n_obj, make_cam(frame=)):
+                # d = light - p, dw = d.w, (ru, rv) = (d.s, d.v)/dw.
+                # Box-corner bounds were measured too loose across depth
+                # discontinuities (complex subtile mode 16.55 vs 13.84
+                # legacy); group-reducing the true extremes restores
+                # legacy-tight plans at O(tiles) cost.
+                r0f = CAM_ROWS + 8 * n_obj
+                dux = cam[13:14] - px_r
+                duy = cam[14:15] - py_r
+                duz = cam[15:16] - pz_r
+                dwl = (dux * cam[r0f + 6:r0f + 7]
+                       + duy * cam[r0f + 7:r0f + 8]
+                       + duz * cam[r0f + 8:r0f + 9])
+                dsl = (dux * cam[r0f + 0:r0f + 1]
+                       + duy * cam[r0f + 1:r0f + 2]
+                       + duz * cam[r0f + 2:r0f + 3])
+                dvl = (dux * cam[r0f + 3:r0f + 4]
+                       + duy * cam[r0f + 4:r0f + 5]
+                       + duz * cam[r0f + 5:r0f + 6])
+                dws = jnp.where(jnp.abs(dwl) > 1e-12, dwl,
+                                jnp.float32(1e-12))
+                rul = dsl / dws
+                rvl = dvl / dws
                 brow = jnp.zeros((1, T_R), jnp.float32)
                 for g in range(G):
                     gm = hm & (lane // stile_b == g)
@@ -1076,7 +1152,9 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                     vals = [mmin(px_r), mmin(py_r), mmin(pz_r),
                             mmax(px_r), mmax(py_r), mmax(pz_r),
                             jnp.max(jnp.where(gm, 1.0, 0.0)),
-                            mmin(objf), mmax(objf)]
+                            mmin(objf), mmax(objf),
+                            mmin(rul), mmax(rul), mmin(rvl), mmax(rvl),
+                            mmin(dwl), mmax(dwl)]
                     for k, vv in enumerate(vals):
                         brow = jnp.where(lane == g * 16 + k, vv, brow)
                 out = jnp.concatenate([out, brow], axis=0)
@@ -1893,7 +1971,6 @@ def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
     R = t.shape[0]
     assert R == n * tile, (R, n, tile)
     assert tile % tpx == 0, (tile, tpx)
-    pmin, pmax = bounds[:, 0:3], bounds[:, 3:6]
     ah = bounds[:, 6] > 0.0
     obj_lo, obj_hi = bounds[:, 7], bounds[:, 8]
     # plan-time self-object exclusion for PURE tiles (every hit lane left
@@ -1901,7 +1978,8 @@ def anyhit_from_t(prep, t, obj, bounds, tile: int, eps: float,
     pure = ah & (obj_lo == obj_hi)
     excl = jnp.where(pure, jnp.round(obj_lo).astype(jnp.int32),
                      jnp.int32(-2))
-    ab = analytic_shadow_bounds(pmin, pmax, ah, light_pos)
+    ab = analytic_shadow_bounds_exact(bounds, light_pos,
+                                      shadow_frame(prep, light_pos))
     plan = cull(prep, None, None, tile, maxv, excl,
                 wb=WINDOW_BLOCKS_AH, apex_rev=True, ab=ab)
     plan = jnp.where(ah[:, None], plan, 0)      # skip hitless tiles
@@ -2219,8 +2297,9 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     tiles_x = -(-wd // tpx)
     shade = (light_pos, light_color, sc.obj_color, sc.obj_ambient,
              sc.obj_specular, sc.obj_shininess)
+    frame = shadow_frame(prep, light_pos) if want_bounds else None
     cam, txy = make_cam(vmx, focal, wd, hd, tpx, n, tiles_x, tile,
-                        shade=shade)
+                        shade=shade, frame=frame)
     plan = plan.at[:, 4].set(txy[:, 0]).at[:, 5].set(txy[:, 1])
     n_obj = int(sc.obj_color.shape[0])
     t, idx, out = tiled_nearest_t(
@@ -2233,8 +2312,8 @@ def hits_shaded(prep, origin, direction, tile: int, eps: float, light_pos,
     if want_bounds:
         G = int(want_bounds)
         braw = out[:, nr]                                # [n, T] bounds row
-        bounds = jnp.stack([braw[:, g * 16:g * 16 + 9]
-                            for g in range(G)], 1).reshape(-1, 9)
+        bounds = jnp.stack([braw[:, g * 16:g * 16 + 15]
+                            for g in range(G)], 1).reshape(-1, 15)
     out = out[:, :nr].transpose(0, 2, 1).reshape(-1, nr)
     if tex:
         comp = out[:R]
