@@ -320,3 +320,14 @@ for v in variants:
         os.environ["SRT_FUSED_PHONG"] = "1"
         os.environ["SRT_FUSED_SHADOW"] = "1"
         run_full(f"full_{v}", cfg.replace(tile_px=int(v[4:])))
+
+for v in variants:
+    if v.startswith("fsub"):
+        # fused from-t shadow at FINER subtiles (exact per-group bounds):
+        # e.g. fsub1024 -> shadow_tile 1024 = 4 subtiles of the 4096 tile
+        os.environ["SRT_ATTR_FETCH"] = "1"
+        os.environ["SRT_FUSED_PHONG"] = "1"
+        os.environ["SRT_FUSED_SHADOW"] = "1"
+        os.environ["SRT_FUSED_SHADOW_SUB"] = "1"
+        run_full(f"full_{v}", cfg.replace(shadow_tile=int(v[4:])))
+        os.environ.pop("SRT_FUSED_SHADOW_SUB")
