@@ -598,56 +598,12 @@ def analytic_shadow_bounds_exact(bounds, light, frame):
     }
 
 
-def analytic_shadow_bounds(pmin, pmax, any_hit, light):
-    """O(tiles) cull bounds for HARD-SHADOW bundles from per-tile hit-point
-    boxes (the fused nearest kernel's bounds row — no ray-sized XLA work).
-
-    A tile's shadow rays are {o = p, d = light - p : p in [pmin, pmax]}
-    (hit lanes only; miss lanes are masked downstream).  Interval keys are
-    exact per axis: o in the point box, d in [light - pmax, light - pmin].
-    Projective light-apex keys (consumed by tiled._visibility_px_rev):
-    d is AFFINE in p over the box, so d.w is linear (sign-definite across
-    the box iff sign-definite at the 8 corners) and the sign-free
-    projective coords u = d.s/d.w are linear-fractional — extremal at the
-    corners whenever d.w is sign-definite.  Mixed-sign / near-zero corner
-    tiles get an unbounded rect (conservative).  Hitless tiles are
-    CLAMPED to a degenerate box at 0 (their plans are zeroed via
-    ``any_hit`` by the caller; the clamp keeps inf out of the interval
-    divisions).  Returns the ab dict for
-    tiled.cull_blocks_lists(ab=..., apex_rev=True).
-    """
-    BIG = jnp.float32(3.0e38)
-    eps = jnp.float32(1e-12)
-    light = jnp.asarray(light, jnp.float32)
-    ah = any_hit[:, None]
-    pmin = jnp.where(ah, pmin, 0.0)
-    pmax = jnp.where(ah, pmax, 0.0)
-    n = pmin.shape[0]
-    ctr = 0.5 * (pmin + pmax)
-    # shared projection frame toward the scene (any frame is valid; see
-    # tiled._px_frame) — hit tiles vote with their center direction
-    s, v, w = _ray_major._px_frame(
-        jnp.where(ah, ctr - light, 0.0))
-    bits = ((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1) == 1
-    corn = jnp.where(bits[None], pmax[:, None], pmin[:, None])  # [n, 8, 3]
-    dc = light - corn                                           # [n, 8, 3]
-    dw = dc @ w
-    ok = (dw > eps).all(axis=1) | (dw < -eps).all(axis=1)
-    dws = jnp.where(jnp.abs(dw) > eps, dw, eps)
-    ru = (dc @ s) / dws
-    rv = (dc @ v) / dws
-    okc = ok[:, None]
-    return {
-        "rev": True,
-        "omin": pmin, "omax": pmax,
-        "dmin": light - pmax, "dmax": light - pmin,
-        "s": s, "v": v, "w": w, "apex": light,
-        "ru_lo": jnp.where(okc, ru, -BIG).min(axis=1),
-        "ru_hi": jnp.where(okc, ru, BIG).max(axis=1),
-        "rv_lo": jnp.where(okc, rv, -BIG).min(axis=1),
-        "rv_hi": jnp.where(okc, rv, BIG).max(axis=1),
-    }
-
+# (The round-5 first-cut corner-math bounds builder — hit-point-box
+# corners projected per tile — was superseded by the EXACT per-group
+# reductions above (analytic_shadow_bounds_exact + the kernel's
+# want_bounds keys): box corners measured 16.55 vs 13.84 ms on the
+# complex subtile mode because a box spanning a depth discontinuity
+# projects to a huge rect.  See git history for the derivation.)
 
 def _build_feats_iota(cam, px0, py0, tpx: int, prec: str, parts: int,
                       TILE_R: int, want_od: bool = False):
