@@ -133,6 +133,12 @@ _SPLIT_MM = _os.environ.get("SRT_TILED_SPLIT_MM", "1") not in ("0", "")
 # work, consistent with the ~2.2us fixed cost per control-flow step
 # (DESIGN.md round-3 retune).  Default OFF; SRT_TILED_SPLIT_GUARD=1 opts in.
 _SPLIT_GUARD = _os.environ.get("SRT_TILED_SPLIT_GUARD", "0") not in ("0", "")
+# Per-WINDOW front-to-back break period (0 = off, the step-level break
+# only): every N windows the split-mm walk refreshes a break flag and
+# cond-guards the remaining windows' matmul+epilogue.  Measurement knob —
+# trades per-window reduction cost for skipped dead windows after the
+# confirming one.  Env: SRT_WIN_BREAK=N.
+_WIN_BREAK = int(_os.environ.get("SRT_WIN_BREAK", "0"))
 # Any-hit keeps the CONCATENATED contraction in resident mode (see
 # SUPER_ROWS_AH: issue-bound walk, fatter matmuls win, no break to protect).
 _SPLIT_MM_AH = _os.environ.get("SRT_TILED_SPLIT_MM_AH", "0") not in ("0", "")
@@ -891,6 +897,7 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
             row = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_R), 0)
             nbw = _nb_total(G, BS) - WB
             RPB = 4 * BS
+            wdone = jnp.bool_(False)
             for k in range(KW):
                 jk = j * KW + k
                 s = jnp.clip(start(jk), 0, nbw)
@@ -915,7 +922,23 @@ def _nearest_kernel_t(BS: int, WB: int, eps: float, prec: str,
                         bi = jnp.where(imp, idv, bi)
                     return bt, bi
 
-                if _SPLIT_GUARD:
+                if _WIN_BREAK and not _NO_BREAK:
+                    # per-WINDOW front-to-back break (env SRT_WIN_BREAK):
+                    # guard each window's matmul+epilogue on the running
+                    # break state, refreshed every _WIN_BREAK windows —
+                    # the step-level break leaves up to KW-1 windows of
+                    # dead work after the confirming window
+                    best_t, best_i = jax.lax.cond(
+                        (jk < cnt) & ~wdone, _win, lambda a: a,
+                        (best_t, best_i))
+                    if (k + 1) % _WIN_BREAK == 0 and k + 1 < KW:
+                        pr = jnp.min(best_t, axis=0, keepdims=True)
+                        wb_bits = jnp.max(jax.lax.shift_right_logical(
+                            jax.lax.bitcast_convert_type(pr, jnp.int32),
+                            16))
+                        wdone = wdone | (use_list
+                                         & (wb_bits < bound16(jk + 1)))
+                elif _SPLIT_GUARD:
                     best_t, best_i = jax.lax.cond(
                         jk < cnt, _win, lambda a: a, (best_t, best_i))
                 else:
