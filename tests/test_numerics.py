@@ -147,3 +147,32 @@ def test_specular_nl_toggle():
     img_on = np.asarray(render(scene, cfg_on, LIGHT))
     img_off = np.asarray(render(scene, cfg_off, LIGHT))
     assert (img_on != img_off).any()
+
+
+def test_tiled_fused_render_under_debug_nans():
+    """The FUSED production pipeline (in-kernel attr fetch + Phong +
+    from-t shadow, interpret mode on CPU) must be debug_nans-clean
+    including its padded off-frame and miss lanes — the epilogue pins
+    miss t to 0 and floors rv with a NORMAL f32 precisely so no masked
+    NaN is ever produced (the round-4 shin==0 NaN lived here)."""
+    sm = SceneManager(root="/root/reference")
+    sm.load_obj_file(reference_asset("cube.obj"), key="c")
+    sm.set_color("c", (0.3, 0.5, 0.9))
+    sm.transform_triangles(
+        "c", T.translate((0.0, 0.0, 30.0)) @ T.scale(20, 20, 20))
+    sm.load_obj_file(reference_asset("sphere.obj"), key="s")
+    sm.set_color("s", (0.9, 0.8, 0.2))
+    sm.transform_triangles(
+        "s", T.translate((0.0, 0.0, 20.0)) @ T.scale(3, 3, 3))
+    scene = sm.build()
+    cfg = default_config().replace(
+        mode="tiled", camera=CameraConfig(width=16, height=16))
+    from simple_raytracer_tpu.accel.prepared import prepare
+    prep = prepare(scene, cfg)
+    with jax.debug_nans(True):
+        rad, hit = jax.jit(
+            lambda p, l: render_radiance(p, cfg, l))(prep, LIGHT)
+        r = np.asarray(rad)
+    m = np.asarray(hit)
+    assert m.all()
+    assert np.isfinite(r[m]).all()
